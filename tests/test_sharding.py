@@ -1,0 +1,62 @@
+"""Device-count invariance: the TPU analog of the reference's
+thread-count invariance test (stress_test.cpp:351-389).  Training and
+encoding must be bit-identical at 1, 2 and 8 devices."""
+
+import random
+
+import numpy as np
+import pytest
+
+from youtokentome_tpu.host import preprocess
+from youtokentome_tpu.models.state import BPEState, SpecialTokens
+from youtokentome_tpu.oracle import rename_tokens
+from youtokentome_tpu.ops.train_kernel import run_training
+from youtokentome_tpu.parallel.encode_sharded import encode_batch_sharded
+from youtokentome_tpu.parallel.mesh import data_mesh
+from youtokentome_tpu.parallel.train_sharded import run_training_sharded
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(0)
+    text = "".join(
+        rng.choice("abc ") if rng.randrange(2) else rng.choice("abc") * rng.randint(2, 5)
+        for _ in range(400)
+    )
+    cps = np.array([ord(c) for c in text], dtype=np.uint32)
+    uniq, cnt, dl = preprocess.char_frequencies(cps)
+    alpha = preprocess.build_alphabet(uniq, cnt, dl, 1.0, 4)
+    buckets = preprocess.training_word_buckets(cps, alpha)
+    used0 = len(alpha.char2id) + 4
+    return cps, alpha, buckets, used0
+
+
+def test_train_device_count_invariance(corpus):
+    _, _, buckets, used0 = corpus
+    single = run_training(buckets, used0, 30)
+    for n in (1, 2, 8):
+        sharded = run_training_sharded(buckets, used0, 30, data_mesh(n))
+        assert sharded == single, f"mismatch at n_devices={n}"
+
+
+def test_encode_device_count_invariance(corpus):
+    from youtokentome_tpu.encoder import Encoder
+    from youtokentome_tpu.ops.encode_kernel import encode_batch
+
+    _, alpha, buckets, used0 = corpus
+    rules = run_training(buckets, used0, 30)
+    char2id, renamed = rename_tokens(alpha.char2id, rules, SpecialTokens(0, 1, 2, 3), 30)
+    state = BPEState(char2id=char2id, rules=renamed,
+                     special_tokens=SpecialTokens(0, 1, 2, 3))
+    enc = Encoder(state)
+    rng = np.random.default_rng(1)
+    ids = np.asarray(enc._sorted_ids)
+    tokens = np.full((64, 12), -1, dtype=np.int32)
+    for i in range(64):
+        ln = int(rng.integers(1, 11))
+        tokens[i, 0] = enc.space_id
+        tokens[i, 1 : 1 + ln] = rng.choice(ids, size=ln)
+    base = encode_batch(enc.tables, tokens)
+    for n in (1, 2, 8):
+        out = encode_batch_sharded(enc.tables, tokens, data_mesh(n))
+        np.testing.assert_array_equal(out, base)

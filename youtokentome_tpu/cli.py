@@ -1,0 +1,184 @@
+"""Command-line interface, mirroring the reference `yttm` CLI
+(youtokentome/yttm_cli.py): subcommands bpe / encode / decode / vocab,
+same options and defaults.  Installed as console script ``yttm-tpu``.
+
+Streaming behaviour mirrors BaseEncoder::encode_cli (bpe.cpp:1942-2014):
+``--stream`` encodes line-by-line with a flush after each line; the
+default batch mode reads stdin in 10 MiB chunks, encodes each batch on
+device, and reports ``bytes processed`` progress on stderr.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import click
+
+
+@click.group()
+def main():
+    pass
+
+
+@click.command()
+@click.option("--data", type=click.Path(exists=True), required=True,
+              help="Training data file path.")
+@click.option("--model", type=click.Path(), required=True,
+              help="Output model file path.")
+@click.option("--vocab_size", type=click.INT, required=True,
+              help="Number of tokens in the final vocabulary.")
+@click.option("--coverage", type=click.FLOAT, default=1.0, show_default=True,
+              help="Percentage of characters covered by the model.")
+@click.option("--n_threads", type=click.INT, default=-1, show_default=True,
+              help="Number of threads.")
+@click.option("--pad_id", type=click.INT, default=0, show_default=True,
+              help="Padding token id.")
+@click.option("--unk_id", type=click.INT, default=1, show_default=True,
+              help="Unknown token id.")
+@click.option("--bos_id", type=click.INT, default=2, show_default=True,
+              help="Begin of sentence token id.")
+@click.option("--eos_id", type=click.INT, default=3, show_default=True,
+              help="End of sentence token id.")
+def bpe(data, model, vocab_size, coverage, n_threads, pad_id, unk_id, bos_id, eos_id):
+    """Train BPE model."""
+    from .api import BPE
+
+    BPE.train(
+        data=data,
+        model=model,
+        vocab_size=vocab_size,
+        coverage=coverage,
+        n_threads=n_threads,
+        pad_id=pad_id,
+        unk_id=unk_id,
+        bos_id=bos_id,
+        eos_id=eos_id,
+    )
+
+
+@click.command()
+@click.option("--model", type=click.Path(exists=True), required=True,
+              help="Path to file with learned model.")
+@click.option("--output_type", type=click.Choice(["id", "subword"]), required=True,
+              help="'id' or 'subword'.")
+@click.option("--n_threads", type=click.INT, default=-1, show_default=True,
+              help="Number of threads.")
+@click.option("--bos", is_flag=True, help="Add tab begin of sentence.")
+@click.option("--eos", is_flag=True, help="Add tab end of sentence.")
+@click.option("--reverse", is_flag=True, help="Reverse output sequence of tokens.")
+@click.option("--stream", is_flag=True,
+              help="Process each line before reading the next one.")
+@click.option("--dropout_prob", type=click.FLOAT, default=0, show_default=True,
+              help="BPE-dropout probability (the probability of a merge being dropped)")
+def encode(model, output_type, n_threads, bos, eos, reverse, stream, dropout_prob):
+    """Encode text to ids or subwords."""
+    if n_threads < -1 or n_threads == 0:
+        raise ValueError(
+            'Invalid value for "--n_threads": must be -1 or positive integer, not "%d"'
+            % n_threads
+        )
+    from .encoder import Encoder
+    from .models.state import BPEState
+
+    enc = Encoder(BPEState.load(model))
+
+    def emit(batch):
+        res = enc.encode(batch, output_type, bos, eos, reverse, dropout_prob)
+        out = sys.stdout
+        for sent in res:
+            # reference writes every token followed by a space (utils.h:94-99)
+            out.write("".join(f"{t} " for t in sent))
+            out.write("\n")
+
+    if stream:
+        for line in sys.stdin:
+            emit([line.rstrip("\n")])
+            sys.stdout.flush()
+    else:
+        batch_limit = 10 * 1024 * 1024  # bpe.cpp:1976
+        total = 0
+        progress_msg = ""
+        while True:
+            batch = []
+            processed = 0
+            for line in sys.stdin:
+                line = line.rstrip("\n")
+                processed += len(line)
+                batch.append(line)
+                if processed >= batch_limit:
+                    break
+            if not batch:
+                break
+            emit(batch)
+            total += processed
+            sys.stderr.write("\b" * len(progress_msg))
+            progress_msg = f"bytes processed: {total}"
+            sys.stderr.write(progress_msg)
+            if processed < batch_limit:
+                break
+        sys.stderr.write("\n")
+
+
+@click.command()
+@click.option("--model", type=click.Path(exists=True), required=True,
+              help="Path to file with learned model.")
+@click.option("--ignore_ids", type=click.STRING, required=False,
+              help="List of indices to ignore for decoding. Example: --ignore_ids=1,2,3")
+def decode(model, ignore_ids):
+    """Decode ids to text."""
+    ids = None
+    if ignore_ids is not None:
+        try:
+            ids = [int(x) for x in ignore_ids.split(",")]
+        except ValueError:
+            raise click.BadParameter(
+                "Bad format: expected list of comma-separated integers"
+            )
+    from .models.state import BPEState
+    from .models.vocab import Vocabulary
+
+    vocab = Vocabulary(BPEState.load(model))
+    for line in sys.stdin:
+        id_list = [int(x) for x in line.split()]
+        sys.stdout.write(vocab.decode_ids(id_list, ids))
+        sys.stdout.write("\n")
+
+
+@click.command()
+@click.option("--model", type=click.Path(exists=True), required=True,
+              help="Path to file with learned model.")
+@click.option("--verbose", is_flag=True, help="Add merging rules.")
+def vocab(model, verbose):
+    """Print list of learned subwords."""
+    from .models.state import BPEState
+    from .models.vocab import Vocabulary
+
+    state = BPEState.load(model)
+    v = Vocabulary(state)
+    n_tokens = max(
+        max(v.recipe, default=0), state.special_tokens.max_id()
+    ) + 1
+    reversed_rules = {z: (x, y) for x, y, z in state.rules} if verbose else {}
+    out = sys.stdout
+    for i in range(n_tokens):
+        token_z = v.id_to_subword(i)
+        out.write(f"{i}\t{token_z}")
+        if verbose and i in reversed_rules:
+            x, y = reversed_rules[i]
+            tx = v.id_to_subword(x)
+            ty = v.id_to_subword(y)
+            used = len(token_z) + 1 + len(tx) + 1 + len(ty)
+            out.write("=" + tx + "+" + ty)
+            out.write(" " * max(2, 50 - used))
+            out.write(f"{x}+{y}")
+        out.write("\n")
+
+
+main.add_command(bpe)
+main.add_command(encode)
+main.add_command(decode)
+main.add_command(vocab)
+
+
+if __name__ == "__main__":
+    main()

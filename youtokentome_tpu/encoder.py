@@ -1,0 +1,360 @@
+"""Batched sentence encoding: host pipeline + device merge kernel.
+
+The reference fans sentences out over threads and encodes word-by-word
+with a priority queue (encode_parallel bpe.cpp:1697-1738).  The TPU
+pipeline instead:
+
+  1. splits all sentences into words with flat array ops,
+  2. deduplicates words exactly (BPE is deterministic per word at
+     dropout 0, so each unique word is encoded once),
+  3. maps chars to ids, collapsing unknown-char runs into placeholder
+     tokens >= 10**9 (bpe.cpp:1503-1527),
+  4. encodes unique words as padded [batch, length] tensors on device
+     (ops/encode_kernel.py), bucketed by length,
+  5. scatters results back to occurrences and assembles per-sentence
+     outputs with gather/repeat ops.
+
+A host-side word -> ids cache short-circuits step 4 for words seen in
+earlier batches.  Dropout > 0 disables dedup and caching (every
+occurrence must be sampled independently, bpe.cpp:1415-1453).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .host import preprocess
+from .models.state import BOS_TOKEN, EOS_TOKEN, SPACE_TOKEN, BPEState, is_space
+from .models.vocab import Vocabulary
+from .ops.encode_kernel import PLACEHOLDER_START, EncoderTables, encode_batch
+
+ENCODE_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+MAX_DEVICE_LEN = ENCODE_BUCKETS[-1]
+_BATCH_PAD = 256  # round device batch sizes up to multiples of this
+
+
+def _pad_rows(mats: List[np.ndarray], cap: int) -> np.ndarray:
+    k = sum(m.shape[0] for m in mats)
+    kp = -(-k // _BATCH_PAD) * _BATCH_PAD
+    out = np.full((kp, cap), -1, dtype=np.int32)
+    r = 0
+    for m in mats:
+        out[r : r + m.shape[0], : m.shape[1]] = m
+        r += m.shape[0]
+    return out
+
+
+class Encoder:
+    """Stateful encoder bound to a trained model."""
+
+    def __init__(self, state: BPEState, cache_size: int = 1 << 20):
+        self.state = state
+        self.vocab = Vocabulary(state)
+        self.tables = EncoderTables(state)
+        sorted_cps = np.sort(
+            np.fromiter(state.char2id.keys(), dtype=np.uint32, count=len(state.char2id))
+        )
+        self._sorted_cps = sorted_cps
+        self._sorted_ids = np.fromiter(
+            (state.char2id[int(c)] for c in sorted_cps),
+            dtype=np.int32,
+            count=sorted_cps.size,
+        )
+        self.space_id = state.char2id[SPACE_TOKEN]
+        self._cache: Dict[bytes, np.ndarray] = {}
+        self._cache_size = cache_size
+
+    # -- char -> id mapping with unknown-run collapse ----------------------
+
+    def _idify_rows(self, rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """[k, L] codepoints -> ([k, L+1] ids with space prefix, lengths).
+
+        Unknown-char runs collapse to placeholder ids >= PLACEHOLDER_START,
+        numbered per word in order of appearance (bpe.cpp:1503-1527).
+        """
+        k, length = rows.shape
+        pos = np.searchsorted(self._sorted_cps, rows)
+        pos_c = np.minimum(pos, self._sorted_cps.size - 1)
+        known = (self._sorted_cps[pos_c] == rows) if self._sorted_cps.size else np.zeros(
+            rows.shape, bool
+        )
+        ids = np.where(known, self._sorted_ids[pos_c], -1).astype(np.int64)
+        unk = ~known
+        run_start = unk & ~np.concatenate([np.zeros((k, 1), bool), unk[:, :-1]], axis=1)
+        ph = np.cumsum(run_start, axis=1) - 1
+        vals = np.where(known, ids, PLACEHOLDER_START + ph)
+        keepm = known | run_start
+        newlen = keepm.sum(axis=1).astype(np.int64)
+        dest = np.cumsum(keepm, axis=1) - 1
+        out = np.full((k, length + 1), -1, dtype=np.int64)
+        out[:, 0] = self.space_id
+        rr = np.nonzero(keepm)
+        out[rr[0], dest[rr] + 1] = vals[rr]
+        return out.astype(np.int32), newlen + 1
+
+    # -- unique-word encoding ---------------------------------------------
+
+    def _encode_unique(
+        self,
+        dd: preprocess.DedupWords,
+        dropout_prob: float,
+        key=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Encode all unique words; returns ragged results as
+        (flat_ids, offsets) with offsets of length n_unique+1."""
+        results: List[Optional[np.ndarray]] = [None] * dd.n_unique
+        use_cache = dropout_prob == 0.0
+
+        # bucket -> list of (uids, id-matrix)
+        buckets: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+        base = 0
+        for length, rows in zip(dd.group_lens, dd.group_rows):
+            k = rows.shape[0]
+            uids = np.arange(base, base + k)
+            base += k
+            todo = np.ones(k, dtype=bool)
+            if use_cache and self._cache:
+                for i in range(k):
+                    hit = self._cache.get(rows[i].tobytes())
+                    if hit is not None:
+                        results[uids[i]] = hit
+                        todo[i] = False
+            if not todo.any():
+                continue
+            rows_t = rows[todo]
+            uids_t = uids[todo]
+            mat, _ = self._idify_rows(rows_t)
+            padded_len = mat.shape[1]
+            if padded_len > MAX_DEVICE_LEN:
+                # host fallback for monster words (rare)
+                for i in range(mat.shape[0]):
+                    w = mat[i][mat[i] >= 0]
+                    res = self._host_merge(w.tolist())
+                    results[uids_t[i]] = np.asarray(res, dtype=np.int64)
+                    if use_cache:
+                        self._maybe_cache(rows_t[i], results[uids_t[i]])
+                continue
+            cap = next(c for c in ENCODE_BUCKETS if c >= padded_len)
+            buckets.setdefault(cap, []).append((uids_t, rows_t, mat))
+
+        for cap, entries in buckets.items():
+            uids_all = np.concatenate([e[0] for e in entries])
+            raw_all = [e[1] for e in entries]
+            mat = _pad_rows([e[2] for e in entries], cap)
+            out = encode_batch(self.tables, mat, dropout_prob, key)
+            out = out[: uids_all.size]
+            flat_raws = [row for r in raw_all for row in r]
+            for i in range(uids_all.size):
+                ids = out[i][out[i] >= 0].astype(np.int64)
+                results[uids_all[i]] = ids
+                if use_cache:
+                    self._maybe_cache(flat_raws[i], ids)
+
+        lens = np.fromiter(
+            (r.size for r in results), dtype=np.int64, count=dd.n_unique
+        )
+        offsets = np.zeros(dd.n_unique + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = (
+            np.concatenate(results) if dd.n_unique else np.zeros(0, dtype=np.int64)
+        )
+        return flat, offsets
+
+    def _maybe_cache(self, raw_row: np.ndarray, ids: np.ndarray) -> None:
+        if len(self._cache) >= self._cache_size:
+            self._cache.clear()  # simple epoch eviction
+        self._cache[raw_row.tobytes()] = ids
+
+    def _host_merge(self, word: List[int]) -> List[int]:
+        """Oracle-style greedy merge for words too long for the device."""
+        rule2id = self.vocab.rule2id
+        rules = self.state.rules
+        cur = word
+        while True:
+            best = None
+            for i in range(len(cur) - 1):
+                r = rule2id.get((cur[i], cur[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                return cur
+            x, y, z = rules[best]
+            out, i, n = [], 0, len(cur)
+            while i < n:
+                if i + 1 < n and cur[i] == x and cur[i + 1] == y:
+                    out.append(z)
+                    i += 2
+                else:
+                    out.append(cur[i])
+                    i += 1
+            cur = out
+
+    # -- public API --------------------------------------------------------
+
+    def encode(
+        self,
+        sentences: Sequence[str],
+        output_type: str = "id",
+        bos: bool = False,
+        eos: bool = False,
+        reverse: bool = False,
+        dropout_prob: float = 0.0,
+        key=None,
+    ):
+        st = self.state.special_tokens
+        if bos and st.bos_id == -1:
+            raise ValueError("Can't add <BOS> token. Model was trained without it.")
+        if eos and st.eos_id == -1:
+            raise ValueError("Can't add <EOS> token. Model was trained without it.")
+        if dropout_prob < 0 or dropout_prob > 1:
+            raise ValueError(
+                "dropout_prob value must be in the range [0, 1]. Current value of "
+                f"dropout_prob = {dropout_prob}"
+            )
+
+        n_sent = len(sentences)
+        if n_sent == 0:
+            return []
+
+        arrs = [
+            np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in sentences
+        ]
+        sep = np.asarray([32], dtype=np.uint32)
+        parts: List[np.ndarray] = []
+        sent_starts = np.zeros(n_sent, dtype=np.int64)
+        off = 0
+        for i, a in enumerate(arrs):
+            sent_starts[i] = off
+            parts.append(a)
+            parts.append(sep)
+            off += a.size + 1
+        stream = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+
+        starts, lengths = preprocess.word_spans(stream)
+        sid = np.searchsorted(sent_starts, starts, side="right") - 1
+
+        if dropout_prob > 0.0:
+            # every occurrence independent: skip dedup by unique-ifying
+            # with occurrence position appended (cheap trick: treat each
+            # occurrence as its own group row)
+            dd = self._no_dedup(stream, starts, lengths)
+        else:
+            dd = preprocess.dedup_words(stream, starts, lengths)
+
+        flat, offsets = self._encode_unique(dd, dropout_prob, key)
+
+        occ = dd.occurrence_uid
+        occ_lens = offsets[occ + 1] - offsets[occ]
+        occ_starts_flat = offsets[occ]
+        total = int(occ_lens.sum())
+        if total:
+            occ_off = np.cumsum(occ_lens) - occ_lens
+            pos_in_occ = np.arange(total, dtype=np.int64) - np.repeat(occ_off, occ_lens)
+            out_ids = flat[np.repeat(occ_starts_flat, occ_lens) + pos_in_occ]
+            out_sid = np.repeat(sid, occ_lens)
+        else:
+            out_ids = np.zeros(0, dtype=np.int64)
+            out_sid = np.zeros(0, dtype=np.int64)
+
+        # split at sentence boundaries
+        bounds = np.searchsorted(out_sid, np.arange(n_sent + 1))
+
+        if output_type == "id":
+            unk = st.unk_id
+            out_ids = np.where(out_ids >= PLACEHOLDER_START, unk, out_ids)
+            result = []
+            for i in range(n_sent):
+                ids = out_ids[bounds[i] : bounds[i + 1]].tolist()
+                if bos:
+                    ids.insert(0, st.bos_id)
+                if eos:
+                    ids.append(st.eos_id)
+                if reverse:
+                    ids.reverse()
+                result.append(ids)
+            return result
+        elif output_type == "subword":
+            piece = self.vocab.piece
+            # raw text for placeholders, resolved per unique word
+            ph_text = self._placeholder_texts(dd)
+            result = []
+            occ_bounds = np.searchsorted(sid, np.arange(n_sent + 1))
+            for i in range(n_sent):
+                pieces: List[str] = []
+                if bos:
+                    pieces.append(BOS_TOKEN)
+                for j in range(occ_bounds[i], occ_bounds[i + 1]):
+                    u = occ[j]
+                    ids = flat[offsets[u] : offsets[u + 1]]
+                    for t in ids:
+                        t = int(t)
+                        if t >= PLACEHOLDER_START:
+                            pieces.append(ph_text[(u, t - PLACEHOLDER_START)])
+                        else:
+                            pieces.append(piece[t])
+                if eos:
+                    pieces.append(EOS_TOKEN)
+                if reverse:
+                    pieces.reverse()
+                result.append(pieces)
+            return result
+        else:
+            raise ValueError('output_type must be equal to "id" or "subword"')
+
+    def _no_dedup(self, stream, starts, lengths) -> preprocess.DedupWords:
+        """Occurrence-preserving variant of dedup (for dropout)."""
+        n = starts.size
+        group_lens: List[int] = []
+        group_rows: List[np.ndarray] = []
+        group_counts: List[np.ndarray] = []
+        occurrence_uid = np.zeros(n, dtype=np.int64)
+        base = 0
+        for length in np.unique(lengths).tolist():
+            sel = np.nonzero(lengths == length)[0]
+            rows = stream[starts[sel][:, None] + np.arange(length)[None, :]]
+            occurrence_uid[sel] = base + np.arange(sel.size)
+            group_lens.append(int(length))
+            group_rows.append(np.ascontiguousarray(rows))
+            group_counts.append(np.ones(sel.size, dtype=np.int64))
+            base += sel.size
+        return preprocess.DedupWords(
+            group_lens=group_lens,
+            group_rows=group_rows,
+            group_counts=group_counts,
+            occurrence_uid=occurrence_uid,
+            n_unique=base,
+            uid_group=np.zeros(base, np.int32),
+            uid_row=np.zeros(base, np.int64),
+        )
+
+    def _placeholder_texts(self, dd: preprocess.DedupWords) -> Dict[Tuple[int, int], str]:
+        """Raw text of each unknown-char run, per unique word."""
+        out: Dict[Tuple[int, int], str] = {}
+        known_set = self._sorted_cps
+        base = 0
+        for rows in dd.group_rows:
+            k, length = rows.shape
+            pos = np.searchsorted(known_set, rows)
+            pos_c = np.minimum(pos, max(known_set.size - 1, 0))
+            known = (known_set[pos_c] == rows) if known_set.size else np.zeros(
+                rows.shape, bool
+            )
+            has_unknown = ~known.all(axis=1)
+            for i in np.nonzero(has_unknown)[0]:
+                row = rows[i]
+                kn = known[i]
+                ph = 0
+                j = 0
+                while j < length:
+                    if not kn[j]:
+                        j0 = j
+                        while j < length and not kn[j]:
+                            j += 1
+                        out[(base + i, ph)] = "".join(chr(int(c)) for c in row[j0:j])
+                        ph += 1
+                    else:
+                        j += 1
+            base += k
+        return out

@@ -1,0 +1,103 @@
+"""Host-side vocabulary utilities: recipes, piece rendering, decode.
+
+Mirrors BaseEncoder::fill_from_state and the id/subword conversion
+surface (bpe.cpp:1667-1894).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence
+
+from .state import (
+    BOS_TOKEN,
+    EOS_TOKEN,
+    PAD_TOKEN,
+    SPACE_TOKEN,
+    UNK_TOKEN,
+    BPEState,
+)
+
+
+class Vocabulary:
+    """Derived lookup tables for a trained model (bpe.cpp:1667-1690)."""
+
+    def __init__(self, state: BPEState):
+        self.state = state
+        self.id2char: Dict[int, int] = {v: k for k, v in state.char2id.items()}
+        self.rule2id: Dict[tuple, int] = {
+            (x, y): i for i, (x, y, _) in enumerate(state.rules)
+        }
+        self.recipe: Dict[int, List[int]] = {i: [i] for i in self.id2char}
+        for x, y, z in state.rules:
+            self.recipe[z] = self.recipe[x] + self.recipe[y]
+        # token id -> rendered piece (reference token2word, bpe.cpp:86-94)
+        self.piece: Dict[int, str] = {
+            tid: "".join(chr(self.id2char[t]) for t in r)
+            for tid, r in self.recipe.items()
+        }
+        self.reversed_recipe: Dict[str, int] = {
+            p: tid for tid, p in self.piece.items()
+        }
+        st = state.special_tokens
+        self.reversed_recipe[BOS_TOKEN] = st.bos_id
+        self.reversed_recipe[EOS_TOKEN] = st.eos_id
+
+    def vocab_size(self) -> int:
+        return self.state.vocab_size()
+
+    def id_to_subword(self, idx: int, replace_space: bool = False) -> str:
+        """bpe.cpp:1774-1807."""
+        st = self.state.special_tokens
+        n = self.vocab_size()
+        if idx < 0 or idx >= n:
+            raise ValueError(
+                "id must be in the range [0, vocab_size - 1]. Current value: "
+                f"vocab_size = {n}; id={idx};"
+            )
+        if idx == st.unk_id:
+            return UNK_TOKEN
+        if idx == st.pad_id:
+            return PAD_TOKEN
+        if idx == st.bos_id:
+            return BOS_TOKEN
+        if idx == st.eos_id:
+            return EOS_TOKEN
+        piece = self.piece[idx]
+        if replace_space and piece and ord(piece[0]) == SPACE_TOKEN:
+            return " " + piece[1:]
+        return piece
+
+    def subword_to_id(self, token: str) -> int:
+        """bpe.cpp:1809-1826; unknown -> unk_id."""
+        st = self.state.special_tokens
+        if token == UNK_TOKEN:
+            return st.unk_id
+        if token == PAD_TOKEN:
+            return st.pad_id
+        if token == BOS_TOKEN:
+            return st.bos_id
+        if token == EOS_TOKEN:
+            return st.eos_id
+        return self.reversed_recipe.get(token, st.unk_id)
+
+    def vocabulary(self) -> List[str]:
+        """bpe.cpp:1884-1894."""
+        return [self.id_to_subword(i) for i in range(self.vocab_size())]
+
+    def decode_ids(
+        self, ids: Sequence[int], ignore_ids: Optional[Iterable[int]] = None
+    ) -> str:
+        """bpe.cpp:1843-1861: concatenate pieces with the leading space of
+        the first emitted piece stripped."""
+        ignore = set(ignore_ids) if ignore_ids is not None else set()
+        out: List[str] = []
+        first = True
+        for idx in ids:
+            if idx in ignore:
+                continue
+            sub = self.id_to_subword(int(idx), replace_space=True)
+            if first and sub.startswith(" "):
+                sub = sub[1:]
+            out.append(sub)
+            first = False
+        return "".join(out)

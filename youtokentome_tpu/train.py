@@ -1,0 +1,85 @@
+"""End-to-end BPE training: host preprocessing + device merge rounds.
+
+Pipeline (mirrors train_bpe / learn_bpe_from_string, bpe.cpp:859-1388):
+
+  read file -> UTF-8 decode (vectorized)            host   ops/utf8.py
+  char frequencies + coverage alphabet              host   host/preprocess.py
+  word split + exact dedup + id mapping             host   host/preprocess.py
+  merge rounds (count/argmax/apply fixed point)     device ops/train_kernel.py
+  special-id renaming + model dump                  host   oracle.rename_tokens
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+import numpy as np
+
+from .host import preprocess
+from .models.state import BPEState, BpeConfig, check_config
+from .ops.train_kernel import run_training
+from .ops.utf8 import decode_utf8_bytes
+from .oracle import rename_tokens
+
+
+def train_from_codepoints(
+    cps: np.ndarray,
+    vocab_size: int,
+    config: BpeConfig,
+) -> BPEState:
+    config = check_config(config, vocab_size)
+    special = config.special_tokens
+    n_specials = special.n_special_tokens()
+
+    uniq, cnt, data_len = preprocess.char_frequencies(cps)
+    print(
+        f"number of unique characters in the training data: {uniq.size}",
+        file=sys.stderr,
+    )
+    alphabet = preprocess.build_alphabet(
+        uniq, cnt, data_len, config.character_coverage, n_specials
+    )
+    print(f"number of deleted characters: {alphabet.removed.size}", file=sys.stderr)
+    print(
+        f"number of unique characters left: {uniq.size - alphabet.removed.size}",
+        file=sys.stderr,
+    )
+
+    used_ids0 = len(alphabet.char2id) + n_specials
+    if used_ids0 > vocab_size:
+        raise ValueError(
+            "Incorrect arguments. Vocabulary size too small. Set vocab_size>="
+            + str(used_ids0)
+            + ".  Current value for vocab_size="
+            + str(vocab_size)
+        )
+
+    buckets = preprocess.training_word_buckets(cps, alphabet)
+    rules = run_training(buckets, used_ids0, vocab_size)
+
+    char2id, rules = rename_tokens(alphabet.char2id, rules, special, vocab_size)
+    return BPEState(char2id=char2id, rules=rules, special_tokens=special)
+
+
+def train(
+    data_path: str,
+    model_path: Optional[str],
+    vocab_size: int,
+    config: Optional[BpeConfig] = None,
+) -> BPEState:
+    """File-based training (train_bpe, bpe.cpp:1368-1388)."""
+    config = config or BpeConfig()
+    print("reading file...", file=sys.stderr)
+    try:
+        with open(data_path, "rb") as f:
+            raw = f.read()
+    except OSError:
+        raise ValueError("Failed to open file: " + data_path) from None
+    cps = decode_utf8_bytes(raw, keep_invalid=True)
+    print("learning bpe...", file=sys.stderr)
+    state = train_from_codepoints(cps, vocab_size, config)
+    if model_path:
+        state.dump(model_path)
+        print(f"model saved to: {model_path}", file=sys.stderr)
+    return state
