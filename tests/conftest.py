@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # compiled once per shape; reuse across tests and subprocesses.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_yttm")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# CPU compiles are cheap: let the stream encoder size its chunks to the
+# input so tiny test batches stay fast.
+os.environ.setdefault("YTTM_STREAM_ADAPTIVE", "1")
 
 import jax  # noqa: E402
 

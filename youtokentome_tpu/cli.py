@@ -94,29 +94,73 @@ def encode(model, output_type, n_threads, bos, eos, reverse, stream, dropout_pro
         for line in sys.stdin:
             emit([line.rstrip("\n")])
             sys.stdout.flush()
-    else:
-        batch_limit = 10 * 1024 * 1024  # bpe.cpp:1976
-        total = 0
-        progress_msg = ""
+        return
+
+    batch_limit = 10 * 1024 * 1024  # bpe.cpp:1976
+    total = 0
+    progress_msg = ""
+    fast = output_type == "id" and dropout_prob == 0 and not (bos or eos or reverse)
+    if fast:
+        # zero-copy path: raw bytes -> device pipeline -> native formatter
+        from .host import fasttok
+        from .host.fastio import format_ids
+
+        use_native = fasttok.available()
+        stdin = sys.stdin.buffer
+        stdout = sys.stdout.buffer
+        leftover = b""
         while True:
-            batch = []
-            processed = 0
-            for line in sys.stdin:
-                line = line.rstrip("\n")
-                processed += len(line)
-                batch.append(line)
-                if processed >= batch_limit:
-                    break
-            if not batch:
+            buf = stdin.read(batch_limit)
+            at_eof = len(buf) < batch_limit
+            if not buf and not leftover:
                 break
-            emit(batch)
-            total += processed
+            buf = leftover + buf
+            leftover = b""
+            if not buf.endswith(b"\n"):
+                while not at_eof and b"\n" not in buf:
+                    more = stdin.read(batch_limit)
+                    at_eof = len(more) < batch_limit
+                    buf += more
+                nl = buf.rfind(b"\n")
+                if nl >= 0 and not at_eof:
+                    leftover = buf[nl + 1 :]
+                    buf = buf[: nl + 1]
+                elif not buf.endswith(b"\n"):
+                    buf += b"\n"  # final unterminated line
+            if use_native:
+                stdout.write(enc.encode_text_cli(buf))
+            else:
+                flat, sentinel = enc.encode_bytes_flat(buf)
+                stdout.write(format_ids(flat, sentinel))
+            total += len(buf)
             sys.stderr.write("\b" * len(progress_msg))
             progress_msg = f"bytes processed: {total}"
             sys.stderr.write(progress_msg)
-            if processed < batch_limit:
+            if at_eof and not leftover:
                 break
+        stdout.flush()
         sys.stderr.write("\n")
+        return
+
+    while True:
+        batch = []
+        processed = 0
+        for line in sys.stdin:
+            line = line.rstrip("\n")
+            processed += len(line)
+            batch.append(line)
+            if processed >= batch_limit:
+                break
+        if not batch:
+            break
+        emit(batch)
+        total += processed
+        sys.stderr.write("\b" * len(progress_msg))
+        progress_msg = f"bytes processed: {total}"
+        sys.stderr.write(progress_msg)
+        if processed < batch_limit:
+            break
+    sys.stderr.write("\n")
 
 
 @click.command()

@@ -25,19 +25,30 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .host import preprocess
+import os
+
+from .host import fasttok, preprocess
 from .models.state import BOS_TOKEN, EOS_TOKEN, SPACE_TOKEN, BPEState, is_space
 from .models.vocab import Vocabulary
 from .ops.encode_kernel import PLACEHOLDER_START, EncoderTables, encode_batch
+from .ops.stream_kernel import NEWLINE, StreamEncoder
+
+# id-mode fast-path backend: "native" = C++ tokenizer + device merge of
+# unique words; "stream" = fully device-resident flat pipeline;
+# "matrix" = numpy host pipeline (always used for subwords/dropout)
+ENCODE_BACKEND = os.environ.get("YTTM_ENCODE_BACKEND", "native")
 
 ENCODE_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 MAX_DEVICE_LEN = ENCODE_BUCKETS[-1]
-_BATCH_PAD = 256  # round device batch sizes up to multiples of this
+# Fixed device batch size per bucket: every (DEVICE_BATCH, cap) shape
+# compiles exactly once ever (and hits the persistent compile cache
+# across processes).  Oversized row sets are chunked.
+DEVICE_BATCH = 8192
 
 
 def _pad_rows(mats: List[np.ndarray], cap: int) -> np.ndarray:
     k = sum(m.shape[0] for m in mats)
-    kp = -(-k // _BATCH_PAD) * _BATCH_PAD
+    kp = max(DEVICE_BATCH, -(-k // DEVICE_BATCH) * DEVICE_BATCH)
     out = np.full((kp, cap), -1, dtype=np.int32)
     r = 0
     for m in mats:
@@ -65,6 +76,9 @@ class Encoder:
         self.space_id = state.char2id[SPACE_TOKEN]
         self._cache: Dict[bytes, np.ndarray] = {}
         self._cache_size = cache_size
+        self._stream = StreamEncoder(
+            self.tables, self._sorted_cps, self._sorted_ids, self.space_id
+        )
 
     # -- char -> id mapping with unknown-run collapse ----------------------
 
@@ -143,14 +157,34 @@ class Encoder:
             uids_all = np.concatenate([e[0] for e in entries])
             raw_all = [e[1] for e in entries]
             mat = _pad_rows([e[2] for e in entries], cap)
-            out = encode_batch(self.tables, mat, dropout_prob, key)
-            out = out[: uids_all.size]
-            flat_raws = [row for r in raw_all for row in r]
-            for i in range(uids_all.size):
-                ids = out[i][out[i] >= 0].astype(np.int64)
-                results[uids_all[i]] = ids
-                if use_cache:
-                    self._maybe_cache(flat_raws[i], ids)
+            outs = []
+            for c0 in range(0, mat.shape[0], DEVICE_BATCH):
+                outs.append(
+                    encode_batch(
+                        self.tables, mat[c0 : c0 + DEVICE_BATCH], dropout_prob, key
+                    )
+                )
+            k = uids_all.size
+            out = np.concatenate(outs, axis=0)[:k]
+            # vectorized ragged extraction: one boolean mask for the whole
+            # bucket, then cheap per-row views into the flat result
+            mask = out >= 0
+            lens_b = mask.sum(axis=1)
+            flat_b = out[mask].astype(np.int64)
+            offs_b = np.zeros(k + 1, dtype=np.int64)
+            np.cumsum(lens_b, out=offs_b[1:])
+            if use_cache:
+                flat_raws = [row for r in raw_all for row in r]
+                cache = self._cache
+                if len(cache) >= self._cache_size:
+                    cache.clear()
+                for i in range(k):
+                    v = flat_b[offs_b[i] : offs_b[i + 1]]
+                    results[uids_all[i]] = v
+                    cache[flat_raws[i].tobytes()] = v
+            else:
+                for i in range(k):
+                    results[uids_all[i]] = flat_b[offs_b[i] : offs_b[i + 1]]
 
         lens = np.fromiter(
             (r.size for r in results), dtype=np.int64, count=dd.n_unique
@@ -218,6 +252,18 @@ class Encoder:
         if n_sent == 0:
             return []
 
+        if output_type == "id" and dropout_prob == 0.0:
+            # fast paths operate on a newline-joined byte stream; need no
+            # sentence to embed a newline (it would break the marking)
+            joined = "\n".join(sentences) + "\n"
+            if joined.count("\n") == n_sent:
+                if ENCODE_BACKEND == "native" and fasttok.available():
+                    return self._encode_ids_native(
+                        joined.encode("utf-8"), n_sent, bos, eos, reverse
+                    )
+                if ENCODE_BACKEND in ("native", "stream"):
+                    return self._encode_ids_stream(joined, n_sent, bos, eos, reverse)
+
         arrs = [
             np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in sentences
         ]
@@ -264,16 +310,20 @@ class Encoder:
         if output_type == "id":
             unk = st.unk_id
             out_ids = np.where(out_ids >= PLACEHOLDER_START, unk, out_ids)
+            big = out_ids.tolist()  # one C-level conversion
+            b = bounds.tolist()
             result = []
-            for i in range(n_sent):
-                ids = out_ids[bounds[i] : bounds[i + 1]].tolist()
-                if bos:
-                    ids.insert(0, st.bos_id)
-                if eos:
-                    ids.append(st.eos_id)
-                if reverse:
-                    ids.reverse()
-                result.append(ids)
+            if not bos and not eos and not reverse:
+                for i in range(n_sent):
+                    result.append(big[b[i] : b[i + 1]])
+            else:
+                pre = [st.bos_id] if bos else []
+                post = [st.eos_id] if eos else []
+                for i in range(n_sent):
+                    ids = pre + big[b[i] : b[i + 1]] + post
+                    if reverse:
+                        ids.reverse()
+                    result.append(ids)
             return result
         elif output_type == "subword":
             piece = self.vocab.piece
@@ -302,6 +352,151 @@ class Encoder:
             return result
         else:
             raise ValueError('output_type must be equal to "id" or "subword"')
+
+    # -- native (C++ host tokenizer + device merge) fast path --------------
+
+    def _merge_unique_words(self, words_flat: np.ndarray, word_off: np.ndarray):
+        """Device-encode each unique word; returns (results_flat,
+        res_off [U+1]) in uid order."""
+        n_uniq = word_off.size - 1
+        lengths = np.diff(word_off).astype(np.int64)
+        res_lens = np.zeros(n_uniq, np.int64)
+        parts = []
+        host_fallback = []
+        prev_cap = 1
+        for cap in ENCODE_BUCKETS:
+            sel = np.nonzero((lengths > prev_cap) & (lengths <= cap))[0]
+            prev_cap = cap
+            if sel.size == 0:
+                continue
+            idx2d = word_off[sel][:, None].astype(np.int64) + np.arange(cap)[None, :]
+            in_row = np.arange(cap)[None, :] < lengths[sel][:, None]
+            mat = np.where(
+                in_row, words_flat[np.minimum(idx2d, words_flat.size - 1)], -1
+            ).astype(np.int32)
+            outs = []
+            kp = -(-mat.shape[0] // DEVICE_BATCH) * DEVICE_BATCH
+            if kp != mat.shape[0]:
+                mat = np.concatenate(
+                    [mat, np.full((kp - mat.shape[0], cap), -1, np.int32)]
+                )
+            for c0 in range(0, kp, DEVICE_BATCH):
+                outs.append(encode_batch(self.tables, mat[c0 : c0 + DEVICE_BATCH]))
+            out = np.concatenate(outs, axis=0)[: sel.size]
+            mask = out >= 0
+            res_lens[sel] = mask.sum(axis=1)
+            parts.append((sel, out, mask))
+        monsters = np.nonzero(lengths > ENCODE_BUCKETS[-1])[0]
+        monster_res = {}
+        for u in monsters:
+            w = words_flat[word_off[u] : word_off[u + 1]].tolist()
+            r = self._host_merge(w)
+            monster_res[int(u)] = np.asarray(r, np.int32)
+            res_lens[u] = len(r)
+
+        res_off = np.zeros(n_uniq + 1, np.int64)
+        np.cumsum(res_lens, out=res_off[1:])
+        results_flat = np.empty(int(res_off[-1]), np.int32)
+        for sel, out, mask in parts:
+            row_lens = mask.sum(axis=1).astype(np.int64)
+            total = int(row_lens.sum())
+            if not total:
+                continue
+            row_off = np.cumsum(row_lens) - row_lens
+            pos = np.arange(total, dtype=np.int64) - np.repeat(row_off, row_lens)
+            dst = np.repeat(res_off[sel], row_lens) + pos
+            results_flat[dst] = out[mask]
+        for u, r in monster_res.items():
+            results_flat[res_off[u] : res_off[u + 1]] = r
+        return results_flat, res_off.astype(np.int32)
+
+    def _tokenize_native(self, data: bytes):
+        return fasttok.tokenize(
+            data, self._sorted_cps, self._sorted_ids, self.space_id
+        )
+
+    def encode_text_cli(self, data: bytes) -> bytes:
+        """CLI zero-copy path: newline-separated bytes in, reference-format
+        id text out.  C++ split/dedup -> device merge -> C++ expand."""
+        words_flat, word_off, occ, _ = self._tokenize_native(data)
+        rf, ro = self._merge_unique_words(words_flat, word_off)
+        unk = self.state.special_tokens.unk_id
+        rf = np.where(rf >= PLACEHOLDER_START, unk, rf)
+        return fasttok.expand_format(occ, rf, ro)
+
+    def _encode_ids_native(
+        self, data: bytes, n_sent: int, bos: bool, eos: bool, reverse: bool
+    ) -> List[List[int]]:
+        words_flat, word_off, occ, _ = self._tokenize_native(data)
+        rf, ro = self._merge_unique_words(words_flat, word_off)
+        unk = self.state.special_tokens.unk_id
+        rf = np.where(rf >= PLACEHOLDER_START, unk, rf)
+        flat = fasttok.expand_ids(occ, rf, ro)
+        st = self.state.special_tokens
+        marks = np.nonzero(flat == -1)[0]
+        assert marks.size == n_sent, (marks.size, n_sent)
+        big = flat.tolist()
+        bounds = [0] + (marks + 1).tolist()
+        pre = [st.bos_id] if bos else []
+        post = [st.eos_id] if eos else []
+        result = []
+        for i in range(n_sent):
+            ids = big[bounds[i] : bounds[i + 1] - 1]
+            if bos or eos:
+                ids = pre + ids + post
+            if reverse:
+                ids.reverse()
+            result.append(ids)
+        return result
+
+    def encode_bytes_flat(self, data: bytes):
+        """Newline-separated text bytes -> (flat id array, sentinel).
+
+        The zero-copy CLI path: ids come back as a flat array with a
+        sentinel entry per '\n'; placeholders are already mapped to
+        unk_id.  Array dtype is uint16 (sentinel 0xFFFF) when the vocab
+        fits, else int32 (sentinel NEWLINE)."""
+        st = self.state.special_tokens
+        use_u16 = self.state.vocab_size() < 0xFFFE and st.unk_id >= 0
+        if use_u16:
+            flat = self._stream.encode_bytes(
+                data, pack_u16=True, unk_id=st.unk_id
+            )
+            return flat, 0xFFFF
+        flat = self._stream.encode_bytes(data)
+        flat = np.where(flat >= PLACEHOLDER_START, st.unk_id, flat)
+        return flat, NEWLINE
+
+    def _encode_ids_stream(
+        self, joined: str, n_sent: int, bos: bool, eos: bool, reverse: bool
+    ) -> List[List[int]]:
+        """ID-mode fast path via the flat device pipeline."""
+        st = self.state.special_tokens
+        use_u16 = self.state.vocab_size() < 0xFFFE and st.unk_id >= 0
+        if use_u16:
+            flat16 = self._stream.encode_bytes(
+                joined.encode("utf-8"), pack_u16=True, unk_id=st.unk_id
+            )
+            flat = flat16.astype(np.int32)
+            flat[flat16 == 0xFFFF] = NEWLINE
+        else:
+            flat = self._stream.encode_bytes(joined.encode("utf-8"))
+            flat = np.where(flat >= PLACEHOLDER_START, st.unk_id, flat)
+        marks = np.nonzero(flat == NEWLINE)[0]
+        assert marks.size == n_sent, (marks.size, n_sent)
+        big = flat.tolist()
+        bounds = [0] + (marks + 1).tolist()
+        result = []
+        pre = [st.bos_id] if bos else []
+        post = [st.eos_id] if eos else []
+        for i in range(n_sent):
+            ids = big[bounds[i] : bounds[i + 1] - 1]  # drop the sentinel
+            if bos or eos:
+                ids = pre + ids + post
+            if reverse:
+                ids.reverse()
+            result.append(ids)
+        return result
 
     def _no_dedup(self, stream, starts, lengths) -> preprocess.DedupWords:
         """Occurrence-preserving variant of dedup (for dropout)."""

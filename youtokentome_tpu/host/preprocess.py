@@ -26,8 +26,16 @@ SPACE_CPS = np.array([9, 10, 11, 12, 13, 32, SPACE_TOKEN], dtype=np.uint32)
 ROW_PAD = np.uint32(0xFFFFFFFF)  # per-row padding for word matrices
 
 
+_ASCII_SPACE_LUT = np.zeros(256, dtype=bool)
+_ASCII_SPACE_LUT[[9, 10, 11, 12, 13, 32]] = True
+
+
 def space_mask(cps: np.ndarray) -> np.ndarray:
-    return np.isin(cps, SPACE_CPS)
+    """is_space over an array (utils.cpp:99-101), via a 256-entry LUT for
+    the ASCII range plus one compare for U+2581 — much faster than isin."""
+    return (_ASCII_SPACE_LUT[np.minimum(cps, 255)] & (cps < 256)) | (
+        cps == SPACE_TOKEN
+    )
 
 
 def char_frequencies(cps: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -216,5 +224,17 @@ def training_word_buckets(
     out: List[Tuple[np.ndarray, np.ndarray]] = []
     for cap in sorted(buckets):
         mats, cnts = zip(*buckets[cap])
-        out.append((np.concatenate(mats, axis=0), np.concatenate(cnts)))
+        mat = np.concatenate(mats, axis=0)
+        cnt = np.concatenate(cnts)
+        # Pad word count to a power of two: bounds the number of distinct
+        # compiled shapes of the training while_loop (pad rows are all-PAD
+        # with zero frequency, contributing nothing).
+        w = mat.shape[0]
+        wp = max(8, 1 << int(np.ceil(np.log2(w))))
+        if wp != w:
+            mat = np.concatenate(
+                [mat, np.full((wp - w, mat.shape[1]), -1, dtype=mat.dtype)]
+            )
+            cnt = np.concatenate([cnt, np.zeros(wp - w, dtype=cnt.dtype)])
+        out.append((mat, cnt))
     return out

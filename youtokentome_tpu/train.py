@@ -18,7 +18,7 @@ import numpy as np
 
 from .host import preprocess
 from .models.state import BPEState, BpeConfig, check_config
-from .ops.train_kernel import run_training
+from .ops.train_stream import run_training_stream
 from .ops.utf8 import decode_utf8_bytes
 from .oracle import rename_tokens
 
@@ -56,7 +56,7 @@ def train_from_codepoints(
         )
 
     buckets = preprocess.training_word_buckets(cps, alphabet)
-    rules = run_training(buckets, used_ids0, vocab_size)
+    rules = run_training_stream(buckets, used_ids0, vocab_size)
 
     char2id, rules = rename_tokens(alphabet.char2id, rules, special, vocab_size)
     return BPEState(char2id=char2id, rules=rules, special_tokens=special)
