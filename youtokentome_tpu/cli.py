@@ -178,14 +178,18 @@ def decode(model, ignore_ids):
             raise click.BadParameter(
                 "Bad format: expected list of comma-separated integers"
             )
+    from .host.fastio import parse_ids
     from .models.state import BPEState
     from .models.vocab import Vocabulary
 
     vocab = Vocabulary(BPEState.load(model))
-    for line in sys.stdin:
-        id_list = [int(x) for x in line.split()]
-        sys.stdout.write(vocab.decode_ids(id_list, ids))
-        sys.stdout.write("\n")
+    data = sys.stdin.buffer.read()
+    if data and not data.endswith(b"\n"):
+        data += b"\n"
+    sentinel = -(2**31)
+    flat = parse_ids(data, sentinel)
+    sys.stdout.buffer.write(vocab.decode_flat(flat, sentinel, ids))
+    sys.stdout.flush()
 
 
 @click.command()

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Optional, Sequence
 
+import numpy as np
+
 from .state import (
     BOS_TOKEN,
     EOS_TOKEN,
@@ -83,6 +85,73 @@ class Vocabulary:
     def vocabulary(self) -> List[str]:
         """bpe.cpp:1884-1894."""
         return [self.id_to_subword(i) for i in range(self.vocab_size())]
+
+    # -- vectorized decode -------------------------------------------------
+
+    def _piece_table(self):
+        """Lazy flat byte table of rendered pieces (replace_space=True,
+        bpe.cpp:1798-1804): (bytes flat uint8, offsets int64)."""
+        if not hasattr(self, "_pt_flat"):
+            n = self.vocab_size()
+            blobs = [
+                self.id_to_subword(i, replace_space=True).encode() for i in range(n)
+            ]
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            self._pt_flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            self._pt_off = off
+        return self._pt_flat, self._pt_off
+
+    def decode_flat(
+        self,
+        flat_ids: np.ndarray,
+        sentinel: int,
+        ignore_ids: Optional[Iterable[int]] = None,
+    ) -> bytes:
+        """Decode a flat id stream with line sentinels to text bytes.
+
+        Vectorized equivalent of per-line BaseEncoder::decode
+        (bpe.cpp:1843-1861): pieces are concatenated per line and the
+        first emitted piece's leading space is stripped.  Pieces never
+        contain '\n' (newline is a space char and cannot enter the
+        alphabet), so the per-line strip is a global replace.
+        """
+        flat, off = self._piece_table()
+        ids = np.asarray(flat_ids, dtype=np.int64)
+        is_sent = ids == sentinel
+        real = ids[~is_sent]
+        if real.size:
+            lo, hi = int(real.min()), int(real.max())
+            n = self.vocab_size()
+            if lo < 0 or hi >= n:
+                bad = lo if lo < 0 else hi
+                raise ValueError(
+                    "id must be in the range [0, vocab_size - 1]. Current value: "
+                    f"vocab_size = {n}; id={bad};"
+                )
+        keep = ~is_sent
+        if ignore_ids is not None:
+            ig = np.asarray(sorted(set(ignore_ids)), dtype=np.int64)
+            if ig.size:
+                keep &= ~np.isin(ids, ig)
+        # map: sentinels -> a virtual '\n' piece appended to the table
+        nl_flat = np.concatenate([flat, np.frombuffer(b"\n", dtype=np.uint8)])
+        nl_off = np.concatenate([off, off[-1:] + 1])
+        nl_id = off.size - 1
+        sel_ids = np.where(is_sent, nl_id, ids)[keep | is_sent]
+        lens = nl_off[sel_ids + 1] - nl_off[sel_ids]
+        total = int(lens.sum())
+        starts = nl_off[sel_ids]
+        row_off = np.cumsum(lens) - lens
+        pos = np.arange(total, dtype=np.int64) - np.repeat(row_off, lens)
+        out = nl_flat[np.repeat(starts, lens) + pos].tobytes()
+        # strip one leading space per line (the reference strips the first
+        # emitted piece's leading space, bpe.cpp:1854-1856)
+        out = out.replace(b"\n ", b"\n")
+        if out.startswith(b" "):
+            out = out[1:]
+        return out
 
     def decode_ids(
         self, ids: Sequence[int], ignore_ids: Optional[Iterable[int]] = None

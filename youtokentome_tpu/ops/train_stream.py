@@ -54,17 +54,59 @@ def _segment_counts_flat(kx, ky, wf):
     return cnt, kx_s, ky_s
 
 
-@functools.partial(jax.jit, static_argnames=("vocab_size",))
+def _topk_candidates(cnt, xs, ys, k):
+    """Top-k candidates in the reference tie-break order via one sort:
+    ascending (-count, max, min, -x)."""
+    mx = jnp.maximum(xs, ys)
+    mn = jnp.minimum(xs, ys)
+    key1 = jnp.where(cnt > 0, -cnt, BIG)
+    key2 = jnp.where(cnt > 0, mx, BIG)
+    key3 = jnp.where(cnt > 0, mn, BIG)
+    key4 = jnp.where(cnt > 0, -xs, BIG)
+    _, _, _, _, cx, cy, cc = lax.sort(
+        (key1, key2, key3, key4, xs, ys, cnt), num_keys=4
+    )
+    return cc[:k], cx[:k], cy[:k]
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_size", "batch_k"))
 def train_rounds_stream(
     t: jnp.ndarray,      # [M] int32 tokens, PAD-padded
     wid: jnp.ndarray,    # [M] int32 word ids, PAD-padded
     freq: jnp.ndarray,   # [WCAP] int32 word frequencies
     used_ids0: jnp.ndarray,
     vocab_size: int,
+    batch_k: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge rounds with exact k-deep batching.
+
+    Generalizes the reference's 1-deep speculative pipeline
+    (bpe.cpp:1152-1169): per round, take the top-k candidates in
+    tie-break order and accept the longest prefix in which no candidate
+    intersects an earlier accepted one (rule_intersection,
+    bpe.cpp:145-147: y_i == x_j or x_i == y_j).  Exactness argument:
+
+    * accepted candidates are pairwise non-intersecting, so no accepted
+      merge changes another's occurrence count (overlap of two pair
+      occurrences forces a shared boundary token, i.e. an intersection);
+    * a merge (x,y)->z only creates pairs containing z; such a pair
+      (l,z) has count <= count(l,x), and (l,x) intersects (x,y), so if
+      (l,x) outranked a later accepted candidate the prefix would have
+      stopped there first — hence no created pair can outrank any
+      accepted candidate or the next round's top (on equal counts the
+      created pair loses the tie because z is the largest id);
+    * stopping (not skipping) at the first intersection preserves the
+      sequential order for everything after it.
+
+    Within a round the accepted merges touch disjoint positions (two
+    adjacent hits of different rules would require y_i == x_j), so they
+    apply in one vectorized pass; runs of equal hits belong to a single
+    x==y rule and use the usual parity selection.
+    """
     m = t.shape[0]
     idx = jnp.arange(m)
     rules0 = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+    kb = batch_k
 
     def cond(state):
         _, _, used, done = state
@@ -84,28 +126,54 @@ def train_rounds_stream(
         kx = jnp.where(valid, t, BIG)
         ky = jnp.where(valid, nxt_t, BIG)
         cnt, xs, ys = _segment_counts_flat(kx, ky, w)
-        c, xb, yb = _argmax_tiebreak(cnt, xs, ys)
-        done = c <= 0
-        z = used
+        cc, cx, cy = _topk_candidates(cnt, xs, ys, kb)
 
-        # apply merge (x, y) -> z with left-to-right non-overlap
-        hit = valid & (t == xb) & (nxt_t == yb) & ~done
+        # prefix acceptance with stop-at-first-intersection
+        remaining = vocab_size - used
+
+        def acc_step(j, carry):
+            acc, stopped = carry
+            inter = jnp.any(acc & ((cy == cx[j]) | (cx == cy[j])))
+            ok = (
+                (cc[j] > 0)
+                & ~stopped
+                & ~inter
+                & (jnp.sum(acc.astype(jnp.int32)) < remaining)
+            )
+            acc = acc.at[j].set(ok)
+            return acc, stopped | ~ok
+
+        acc, _ = lax.fori_loop(
+            0, kb, acc_step, (jnp.zeros((kb,), bool), jnp.asarray(False))
+        )
+        n_acc = jnp.sum(acc.astype(jnp.int32))
+        done = n_acc == 0
+        # z ids follow acceptance order
+        zs = used + jnp.cumsum(acc.astype(jnp.int32)) - 1
+
+        # vectorized apply of all accepted merges: per position, which
+        # accepted rule hits (at most one — pairs are distinct)
+        hitk = (
+            valid[:, None]
+            & acc[None, :]
+            & (t[:, None] == cx[None, :])
+            & (nxt_t[:, None] == cy[None, :])
+        )
+        hit = jnp.any(hitk, axis=1)
+        rix = jnp.argmax(hitk, axis=1)
         ln = lax.cummax(jnp.where(hit, -1, idx))
         sel = hit & ((idx - ln - 1) % 2 == 0)
-        new_t = jnp.where(sel, z, t)
+        new_t = jnp.where(sel, zs[rix], t)
         kill = jnp.concatenate([jnp.zeros((1,), bool), sel[:-1]])
         keep = ~kill & (new_t != PAD)
-        (t2, w2), n_new = _compact(keep, (new_t, wid))
+        (t2, w2), _ = _compact(keep, (new_t, wid))
 
-        rules = lax.cond(
-            done,
-            lambda r: r,
-            lambda r: r.at[used - used_ids0].set(
-                jnp.stack([xb, yb, z]).astype(jnp.int32)
-            ),
-            rules,
+        # store accepted rules at their batch slots (others drop out of range)
+        slot = jnp.where(acc, zs - used_ids0, vocab_size)
+        rules = rules.at[slot].set(
+            jnp.stack([cx, cy, zs], axis=1).astype(jnp.int32), mode="drop"
         )
-        used = jnp.where(done, used, used + 1)
+        used = used + n_acc
         return (t2, w2), rules, used, done
 
     (_, _), rules, used, _ = lax.while_loop(
