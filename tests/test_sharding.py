@@ -39,6 +39,19 @@ def test_train_device_count_invariance(corpus):
         assert sharded == single, f"mismatch at n_devices={n}"
 
 
+def test_stream_train_device_count_invariance(corpus):
+    from youtokentome_tpu.ops.train_stream import run_training_stream
+    from youtokentome_tpu.parallel.train_stream_sharded import (
+        run_training_stream_sharded,
+    )
+
+    _, _, buckets, used0 = corpus
+    single = run_training_stream(buckets, used0, 30)
+    for n in (1, 2, 8):
+        sharded = run_training_stream_sharded(buckets, used0, 30, data_mesh(n))
+        assert sharded == single, f"mismatch at n_devices={n}"
+
+
 def test_encode_device_count_invariance(corpus):
     from youtokentome_tpu.encoder import Encoder
     from youtokentome_tpu.ops.encode_kernel import encode_batch

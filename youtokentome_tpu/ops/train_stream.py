@@ -11,18 +11,19 @@ encode pipeline instead of per-length bucket matrices:
 
   round:  pair keys + run-parity count mask  ->  one 3-array sort
           segmented reduce-by-key            ->  pair counts
-          4 masked reductions                ->  tie-broken argmax
-          parity-selected merge + stable-sort compaction
+          tie-ordered top-k (one more sort)  ->  candidate batch
+          exact k-deep prefix acceptance     ->  up to k merges/round
+          vectorized apply + compaction
 
-Everything is sorts, scans and gathers — no scatter ops (TPU scatters
-serialize badly) and no ragged padding waste.  One lax.while_loop, zero
-host round-trips.
+One lax.while_loop on device; the host only pauses it (via a dynamic
+round limit) for progress lines and checkpoints.
 """
 
 from __future__ import annotations
 
 import functools
 import sys
+import time
 from typing import List, Tuple
 
 import jax
@@ -54,6 +55,81 @@ def _segment_counts_flat(kx, ky, wf):
     return cnt, kx_s, ky_s
 
 
+def pair_keys_and_weights(t, wid, freq):
+    """Adjacent pair keys with the run-parity count mask applied to the
+    frequency weights (invalid slots keyed BIG with weight 0)."""
+    m = t.shape[0]
+    idx = jnp.arange(m)
+    nxt_t = jnp.concatenate([t[1:], jnp.full((1,), PAD, t.dtype)])
+    nxt_w = jnp.concatenate([wid[1:], jnp.full((1,), PAD, wid.dtype)])
+    valid = (wid >= 0) & (wid == nxt_w)
+    eq = valid & (t == nxt_t)
+    last_noneq = lax.cummax(jnp.where(eq, -1, idx))
+    offset = idx - last_noneq - 1
+    counted = valid & (~eq | (offset % 2 == 0))
+    w = jnp.where(counted, freq[jnp.maximum(wid, 0)], 0).astype(jnp.int32)
+    kx = jnp.where(valid, t, BIG)
+    ky = jnp.where(valid, nxt_t, BIG)
+    return kx, ky, w
+
+
+def accept_prefix(cc, cx, cy, used, vocab_size, kb):
+    """Longest prefix of tie-ordered candidates with no intersection
+    against an earlier accepted candidate (stop, don't skip)."""
+    remaining = vocab_size - used
+
+    def acc_step(j, carry):
+        acc, stopped = carry
+        inter = jnp.any(acc & ((cy == cx[j]) | (cx == cy[j])))
+        ok = (
+            (cc[j] > 0)
+            & ~stopped
+            & ~inter
+            & (jnp.sum(acc.astype(jnp.int32)) < remaining)
+        )
+        acc = acc.at[j].set(ok)
+        return acc, stopped | ~ok
+
+    acc, _ = lax.fori_loop(
+        0, kb, acc_step, (jnp.zeros((kb,), bool), jnp.asarray(False))
+    )
+    n_acc = jnp.sum(acc.astype(jnp.int32))
+    zs = used + jnp.cumsum(acc.astype(jnp.int32)) - 1
+    return acc, zs, n_acc
+
+
+def apply_accepted(t, wid, acc, cx, cy, zs):
+    """Merge every accepted rule's occurrences in one vectorized pass
+    (accepted rules are non-intersecting, so positions are disjoint)."""
+    m = t.shape[0]
+    idx = jnp.arange(m)
+    nxt_t = jnp.concatenate([t[1:], jnp.full((1,), PAD, t.dtype)])
+    nxt_w = jnp.concatenate([wid[1:], jnp.full((1,), PAD, wid.dtype)])
+    valid = (wid >= 0) & (wid == nxt_w)
+    hitk = (
+        valid[:, None]
+        & acc[None, :]
+        & (t[:, None] == cx[None, :])
+        & (nxt_t[:, None] == cy[None, :])
+    )
+    hit = jnp.any(hitk, axis=1)
+    rix = jnp.argmax(hitk, axis=1)
+    ln = lax.cummax(jnp.where(hit, -1, idx))
+    sel = hit & ((idx - ln - 1) % 2 == 0)
+    new_t = jnp.where(sel, zs[rix], t)
+    kill = jnp.concatenate([jnp.zeros((1,), bool), sel[:-1]])
+    keep = ~kill & (new_t != PAD)
+    (t2, w2), _ = _compact(keep, (new_t, wid))
+    return t2, w2
+
+
+def store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size):
+    slot = jnp.where(acc, zs - used_ids0, vocab_size)
+    return rules.at[slot].set(
+        jnp.stack([cx, cy, zs], axis=1).astype(jnp.int32), mode="drop"
+    )
+
+
 def _topk_candidates(cnt, xs, ys, k):
     """Top-k candidates in the reference tie-break order via one sort:
     ascending (-count, max, min, -x)."""
@@ -70,15 +146,22 @@ def _topk_candidates(cnt, xs, ys, k):
 
 
 @functools.partial(jax.jit, static_argnames=("vocab_size", "batch_k"))
-def train_rounds_stream(
+def train_rounds_resumable(
     t: jnp.ndarray,      # [M] int32 tokens, PAD-padded
     wid: jnp.ndarray,    # [M] int32 word ids, PAD-padded
     freq: jnp.ndarray,   # [WCAP] int32 word frequencies
+    rules: jnp.ndarray,  # [vocab_size, 3] int32 rules so far (-1 padded)
+    used: jnp.ndarray,   # scalar int32: ids used so far
     used_ids0: jnp.ndarray,
+    limit: jnp.ndarray,  # scalar int32: pause once used >= limit
     vocab_size: int,
     batch_k: int = 16,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Merge rounds with exact k-deep batching.
+):
+    """Merge rounds with exact k-deep batching (resumable).
+
+    ``limit`` pauses the device loop so the host can emit progress and
+    checkpoints between segments without recompiling (it is a dynamic
+    scalar; the compiled program is the same for every segment).
 
     Generalizes the reference's 1-deep speculative pipeline
     (bpe.cpp:1152-1169): per round, take the top-k candidates in
@@ -103,90 +186,35 @@ def train_rounds_stream(
     apply in one vectorized pass; runs of equal hits belong to a single
     x==y rule and use the usual parity selection.
     """
-    m = t.shape[0]
-    idx = jnp.arange(m)
-    rules0 = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
     kb = batch_k
 
     def cond(state):
         _, _, used, done = state
-        return (~done) & (used < vocab_size)
+        return (~done) & (used < jnp.minimum(vocab_size, limit))
 
     def body(state):
         (t, wid), rules, used, _ = state[0], state[1], state[2], state[3]
-        nxt_t = jnp.concatenate([t[1:], jnp.full((1,), PAD, t.dtype)])
-        nxt_w = jnp.concatenate([wid[1:], jnp.full((1,), PAD, wid.dtype)])
-        valid = (wid >= 0) & (wid == nxt_w)
-        # run-parity count mask: inside equal runs only even offsets count
-        eq = valid & (t == nxt_t)
-        last_noneq = lax.cummax(jnp.where(eq, -1, idx))
-        offset = idx - last_noneq - 1
-        counted = valid & (~eq | (offset % 2 == 0))
-        w = jnp.where(counted, freq[jnp.maximum(wid, 0)], 0).astype(jnp.int32)
-        kx = jnp.where(valid, t, BIG)
-        ky = jnp.where(valid, nxt_t, BIG)
+        kx, ky, w = pair_keys_and_weights(t, wid, freq)
         cnt, xs, ys = _segment_counts_flat(kx, ky, w)
         cc, cx, cy = _topk_candidates(cnt, xs, ys, kb)
-
-        # prefix acceptance with stop-at-first-intersection
-        remaining = vocab_size - used
-
-        def acc_step(j, carry):
-            acc, stopped = carry
-            inter = jnp.any(acc & ((cy == cx[j]) | (cx == cy[j])))
-            ok = (
-                (cc[j] > 0)
-                & ~stopped
-                & ~inter
-                & (jnp.sum(acc.astype(jnp.int32)) < remaining)
-            )
-            acc = acc.at[j].set(ok)
-            return acc, stopped | ~ok
-
-        acc, _ = lax.fori_loop(
-            0, kb, acc_step, (jnp.zeros((kb,), bool), jnp.asarray(False))
-        )
-        n_acc = jnp.sum(acc.astype(jnp.int32))
+        acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, kb)
         done = n_acc == 0
-        # z ids follow acceptance order
-        zs = used + jnp.cumsum(acc.astype(jnp.int32)) - 1
-
-        # vectorized apply of all accepted merges: per position, which
-        # accepted rule hits (at most one — pairs are distinct)
-        hitk = (
-            valid[:, None]
-            & acc[None, :]
-            & (t[:, None] == cx[None, :])
-            & (nxt_t[:, None] == cy[None, :])
-        )
-        hit = jnp.any(hitk, axis=1)
-        rix = jnp.argmax(hitk, axis=1)
-        ln = lax.cummax(jnp.where(hit, -1, idx))
-        sel = hit & ((idx - ln - 1) % 2 == 0)
-        new_t = jnp.where(sel, zs[rix], t)
-        kill = jnp.concatenate([jnp.zeros((1,), bool), sel[:-1]])
-        keep = ~kill & (new_t != PAD)
-        (t2, w2), _ = _compact(keep, (new_t, wid))
-
-        # store accepted rules at their batch slots (others drop out of range)
-        slot = jnp.where(acc, zs - used_ids0, vocab_size)
-        rules = rules.at[slot].set(
-            jnp.stack([cx, cy, zs], axis=1).astype(jnp.int32), mode="drop"
-        )
+        t2, w2 = apply_accepted(t, wid, acc, cx, cy, zs)
+        rules = store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size)
         used = used + n_acc
         return (t2, w2), rules, used, done
 
-    (_, _), rules, used, _ = lax.while_loop(
+    (t2, w2), rules, used, done = lax.while_loop(
         cond,
         body,
         (
             (t.astype(jnp.int32), wid.astype(jnp.int32)),
-            rules0,
-            used_ids0.astype(jnp.int32),
+            rules,
+            used.astype(jnp.int32),
             jnp.asarray(False),
         ),
     )
-    return rules, used - used_ids0
+    return t2, w2, rules, used, done
 
 
 def flatten_word_buckets(buckets) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -219,21 +247,83 @@ def flatten_word_buckets(buckets) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return tp, wp, freq
 
 
-def run_training_stream(buckets, used_ids0: int, vocab_size: int) -> List[Tuple[int, int, int]]:
-    """Host wrapper matching ops/train_kernel.run_training's contract."""
+def run_training_stream(
+    buckets,
+    used_ids0: int,
+    vocab_size: int,
+    batch_k: int = 16,
+    progress_every: int = 0,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume_path: str | None = None,
+) -> List[Tuple[int, int, int]]:
+    """Host driver for the device training fixed point.
+
+    * ``progress_every`` > 0 pauses the device loop every N new ids and
+      prints a progress line (the reference logs every 1000 merges,
+      bpe.cpp:1198-1219);
+    * ``checkpoint_path``/``checkpoint_every`` save a resumable snapshot
+      (token stream + rules) every N ids — the reference has no
+      mid-training checkpoints, but 100GB-scale corpora want them;
+    * ``resume_path`` continues from such a snapshot.
+
+    Pausing uses a dynamic round limit: every segment reuses the same
+    compiled program.
+    """
     if not buckets:
         print(f"WARNING merged only: {used_ids0} pairs of tokens", file=sys.stderr)
         return []
-    t, wid, freq = flatten_word_buckets(buckets)
-    rules, n_rules = train_rounds_stream(
-        jnp.asarray(t),
-        jnp.asarray(wid),
-        jnp.asarray(freq),
-        jnp.asarray(used_ids0, jnp.int32),
-        vocab_size,
+    if resume_path:
+        snap = np.load(resume_path)
+        t, wid, freq = snap["t"], snap["wid"], snap["freq"]
+        rules_h = snap["rules"]
+        used = int(snap["used"])
+        assert int(snap["used_ids0"]) == used_ids0
+        assert rules_h.shape[0] == vocab_size
+        rules = jnp.asarray(rules_h)
+    else:
+        t, wid, freq = flatten_word_buckets(buckets)
+        rules = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+        used = used_ids0
+
+    td = jnp.asarray(t)
+    wd = jnp.asarray(wid)
+    fd = jnp.asarray(freq)
+    u0 = jnp.asarray(used_ids0, jnp.int32)
+    seg = min(
+        x for x in (progress_every, checkpoint_every, vocab_size) if x
     )
-    n = int(n_rules)
-    if used_ids0 + n < vocab_size:
-        print(f"WARNING merged only: {used_ids0 + n} pairs of tokens", file=sys.stderr)
+    t_start = time.time()
+    while used < vocab_size:
+        limit = min(vocab_size, used + seg)
+        td, wd, rules, used_d, done = train_rounds_resumable(
+            td, wd, fd, rules, jnp.asarray(used, jnp.int32), u0,
+            jnp.asarray(limit, jnp.int32), vocab_size, batch_k,
+        )
+        used = int(used_d)
+        if progress_every:
+            n_merges = used - used_ids0
+            dt = time.time() - t_start
+            print(
+                f"id: {used}/{vocab_size}  merges: {n_merges}  "
+                f"({dt:.1f}s, {n_merges / max(dt, 1e-9):.0f} merges/s)",
+                file=sys.stderr,
+            )
+        if checkpoint_path and checkpoint_every and used < vocab_size:
+            np.savez(
+                checkpoint_path,
+                t=np.asarray(td),
+                wid=np.asarray(wd),
+                freq=np.asarray(fd),
+                rules=np.asarray(rules),
+                used=used,
+                used_ids0=used_ids0,
+            )
+        if bool(done):
+            break
+
+    n = used - used_ids0
+    if n < vocab_size - used_ids0:
+        print(f"WARNING merged only: {used} pairs of tokens", file=sys.stderr)
     out = np.asarray(rules[:n])
     return [tuple(map(int, r)) for r in out]

@@ -11,6 +11,7 @@ Pipeline (mirrors train_bpe / learn_bpe_from_string, bpe.cpp:859-1388):
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Optional
 
@@ -56,7 +57,16 @@ def train_from_codepoints(
         )
 
     buckets = preprocess.training_word_buckets(cps, alphabet)
-    rules = run_training_stream(buckets, used_ids0, vocab_size)
+    rules = run_training_stream(
+        buckets,
+        used_ids0,
+        vocab_size,
+        batch_k=int(os.environ.get("YTTM_TRAIN_BATCH_K", "16")),
+        progress_every=int(os.environ.get("YTTM_TRAIN_PROGRESS", "0")),
+        checkpoint_path=os.environ.get("YTTM_TRAIN_CHECKPOINT") or None,
+        checkpoint_every=int(os.environ.get("YTTM_TRAIN_CHECKPOINT_EVERY", "0")),
+        resume_path=os.environ.get("YTTM_TRAIN_RESUME") or None,
+    )
 
     char2id, rules = rename_tokens(alphabet.char2id, rules, special, vocab_size)
     return BPEState(char2id=char2id, rules=rules, special_tokens=special)
