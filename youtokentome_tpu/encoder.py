@@ -358,11 +358,16 @@ class Encoder:
     def _merge_unique_words(self, words_flat: np.ndarray, word_off: np.ndarray):
         """Device-encode each unique word; returns (results_flat,
         res_off [U+1]) in uid order."""
+        import jax.numpy as jnp
+
+        from .ops.encode_kernel import _encode_greedy
+
         n_uniq = word_off.size - 1
         lengths = np.diff(word_off).astype(np.int64)
         res_lens = np.zeros(n_uniq, np.int64)
-        parts = []
-        host_fallback = []
+        # dispatch every bucket chunk asynchronously before collecting any
+        # result: hides per-call device latency
+        pending = []
         prev_cap = 1
         for cap in ENCODE_BUCKETS:
             sel = np.nonzero((lengths > prev_cap) & (lengths <= cap))[0]
@@ -374,15 +379,19 @@ class Encoder:
             mat = np.where(
                 in_row, words_flat[np.minimum(idx2d, words_flat.size - 1)], -1
             ).astype(np.int32)
-            outs = []
             kp = -(-mat.shape[0] // DEVICE_BATCH) * DEVICE_BATCH
             if kp != mat.shape[0]:
                 mat = np.concatenate(
                     [mat, np.full((kp - mat.shape[0], cap), -1, np.int32)]
                 )
-            for c0 in range(0, kp, DEVICE_BATCH):
-                outs.append(encode_batch(self.tables, mat[c0 : c0 + DEVICE_BATCH]))
-            out = np.concatenate(outs, axis=0)[: sel.size]
+            futs = [
+                _encode_greedy(self.tables, jnp.asarray(mat[c0 : c0 + DEVICE_BATCH]))
+                for c0 in range(0, kp, DEVICE_BATCH)
+            ]
+            pending.append((sel, futs))
+        parts = []
+        for sel, futs in pending:
+            out = np.concatenate([np.asarray(f) for f in futs], axis=0)[: sel.size]
             mask = out >= 0
             res_lens[sel] = mask.sum(axis=1)
             parts.append((sel, out, mask))
