@@ -61,17 +61,19 @@ def format_ids(flat: np.ndarray, sentinel: int) -> bytes:
     n = flat.size
     if lib is not None:
         if flat.dtype == np.uint16:
-            buf = ctypes.create_string_buffer(8 * n + 16)
+            buf = np.empty(8 * n + 16, dtype=np.uint8)
             k = lib.yttm_format_ids_u16(
-                flat.ctypes.data_as(ctypes.c_void_p), n, buf
+                flat.ctypes.data_as(ctypes.c_void_p), n,
+                buf.ctypes.data_as(ctypes.c_void_p),
             )
-            return buf.raw[:k]
+            return buf[:k].tobytes()
         flat32 = np.ascontiguousarray(flat, dtype=np.int32)
-        buf = ctypes.create_string_buffer(13 * n + 16)
+        buf = np.empty(13 * n + 16, dtype=np.uint8)
         k = lib.yttm_format_ids(
-            flat32.ctypes.data_as(ctypes.c_void_p), n, sentinel, buf
+            flat32.ctypes.data_as(ctypes.c_void_p), n, sentinel,
+            buf.ctypes.data_as(ctypes.c_void_p),
         )
-        return buf.raw[:k]
+        return buf[:k].tobytes()
     # fallback
     out = []
     line: list = []

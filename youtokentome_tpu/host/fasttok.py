@@ -118,22 +118,18 @@ def expand_format(
     occ = np.ascontiguousarray(occ, np.int32)
     rf = np.ascontiguousarray(results_flat, np.int32)
     ro = np.ascontiguousarray(res_off, np.int32)
-    # bound: every token prints <= 12 bytes; occurrences gather word
-    # results whose max length is bounded by the longest word result
-    max_word = int(np.max(np.diff(ro))) if ro.size > 1 else 1
-    cap = 13 * (max_word * max(1, (occ >= 0).sum()) + occ.size) + 64
-    # tighter: sum over occurrences
-    lens = np.diff(ro)
+    # bound: every token prints <= 12 bytes + separator
+    lens = np.diff(ro.astype(np.int64))
     cap = 13 * int(lens[occ[occ >= 0]].sum()) + occ.size + 64
-    buf = ctypes.create_string_buffer(cap)
+    buf = np.empty(cap, dtype=np.uint8)  # no zeroing, unlike create_string_buffer
     k = lib.yttm_expand_format(
         occ.ctypes.data_as(ctypes.c_void_p), occ.size,
         rf.ctypes.data_as(ctypes.c_void_p), ro.ctypes.data_as(ctypes.c_void_p),
-        buf, cap,
+        buf.ctypes.data_as(ctypes.c_void_p), cap,
     )
     if k < 0:
         raise RuntimeError("expand_format capacity")
-    return buf.raw[:k]
+    return buf[:k].tobytes()
 
 
 def expand_ids(
