@@ -38,12 +38,26 @@ BIG = jnp.int32(0x7FFFFFFF)
 PAD = -1
 
 
-def _segment_counts_flat(kx, ky, wf):
-    """Sorted reduce-by-key; totals at segment ends, zeros elsewhere."""
-    kx_s, ky_s, w_s = lax.sort((kx, ky, wf), num_keys=2)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), (kx_s[1:] != kx_s[:-1]) | (ky_s[1:] != ky_s[:-1])]
-    )
+def _segment_counts_flat(kx, ky, wf, pack16: bool = False):
+    """Sorted reduce-by-key; totals at segment ends, zeros elsewhere.
+
+    With ``pack16`` (valid while all ids < 2**16, i.e. vocab < 65536)
+    the pair key packs into one uint32, turning the 3-array 2-key sort
+    into a 2-array 1-key sort — the per-round hot spot.
+    """
+    if pack16:
+        key = (kx.astype(jnp.uint32) << 16) | (ky.astype(jnp.uint32) & 0xFFFF)
+        key = jnp.where(kx == BIG, jnp.uint32(0xFFFFFFFF), key)
+        key_s, w_s = lax.sort((key, wf), num_keys=1)
+        first = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+        invalid_s = key_s == jnp.uint32(0xFFFFFFFF)
+        kx_s = jnp.where(invalid_s, BIG, (key_s >> 16).astype(jnp.int32))
+        ky_s = jnp.where(invalid_s, BIG, (key_s & 0xFFFF).astype(jnp.int32))
+    else:
+        kx_s, ky_s, w_s = lax.sort((kx, ky, wf), num_keys=2)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), (kx_s[1:] != kx_s[:-1]) | (ky_s[1:] != ky_s[:-1])]
+        )
     is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
     cw = jnp.cumsum(w_s)
     end_marks = jnp.where(is_end, cw, 0)
@@ -195,7 +209,7 @@ def train_rounds_resumable(
     def body(state):
         (t, wid), rules, used, _ = state[0], state[1], state[2], state[3]
         kx, ky, w = pair_keys_and_weights(t, wid, freq)
-        cnt, xs, ys = _segment_counts_flat(kx, ky, w)
+        cnt, xs, ys = _segment_counts_flat(kx, ky, w, pack16=vocab_size < 65536)
         cc, cx, cy = _topk_candidates(cnt, xs, ys, kb)
         acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, kb)
         done = n_acc == 0

@@ -55,7 +55,9 @@ def _train_sharded(t, wid, freq, used_ids0, vocab_size, batch_k, mesh_ref):
             kx_g = lax.all_gather(kx, DATA_AXIS, tiled=True)
             ky_g = lax.all_gather(ky, DATA_AXIS, tiled=True)
             w_g = lax.all_gather(w, DATA_AXIS, tiled=True)
-            cnt, xs, ys = _segment_counts_flat(kx_g, ky_g, w_g)
+            cnt, xs, ys = _segment_counts_flat(
+                kx_g, ky_g, w_g, pack16=vocab_size < 65536
+            )
             cc, cx, cy = _topk_candidates(cnt, xs, ys, batch_k)
             acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, batch_k)
             done = n_acc == 0
