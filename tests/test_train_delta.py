@@ -1,0 +1,98 @@
+"""Incremental-count trainer (ops/train_delta) vs the full-recount
+trainer (ops/train_stream) and the oracle: identical rules always.
+
+The delta trainer maintains exact pair counts via word-granular delta
+recounting (module docstring in ops/train_delta.py); any bookkeeping
+error shows up as a diverging candidate order, so differential equality
+over run-heavy random corpora is the strongest cheap check (the same
+strategy the reference's stress suite uses, stress_test.cpp:420-434).
+"""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from youtokentome_tpu.models.state import BpeConfig, SpecialTokens
+from youtokentome_tpu.oracle import train_from_codepoints as oracle_train
+from youtokentome_tpu.train import train_from_codepoints as device_train
+
+
+def _cps(text):
+    return np.array([ord(c) for c in text], dtype=np.uint32)
+
+
+def _run_impl(impl, cps, vocab, cfg):
+    old = os.environ.get("YTTM_TRAIN_IMPL")
+    os.environ["YTTM_TRAIN_IMPL"] = impl
+    try:
+        return device_train(cps, vocab, cfg)
+    finally:
+        if old is None:
+            os.environ.pop("YTTM_TRAIN_IMPL", None)
+        else:
+            os.environ["YTTM_TRAIN_IMPL"] = old
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_delta_equals_stream_random(seed):
+    rng = random.Random(seed)
+    # run-heavy text over a tiny alphabet: exercises floor(run/2)
+    # counting, x==y merges, and delta/recount boundaries
+    out = []
+    while len(out) < 1200:
+        if rng.randrange(2):
+            out.append(rng.choice("abc "))
+        else:
+            out.extend([rng.choice("abc ")] * rng.randint(2, 6))
+    text = "".join(out)
+    vocab = 10 + rng.randrange(40)
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    a = _run_impl("stream", _cps(text), vocab, cfg)
+    b = _run_impl("delta", _cps(text), vocab, cfg)
+    assert a.rules == b.rules
+    assert a.char2id == b.char2id
+
+
+def test_delta_matches_oracle_zipf():
+    rng = np.random.default_rng(7)
+    letters = "abcdefgh"
+    words = [
+        "".join(rng.choice(list(letters), size=l))
+        for l in np.clip(rng.poisson(5, 300), 2, 10)
+    ]
+    probs = 1.0 / np.arange(1, 301)
+    probs /= probs.sum()
+    text = " ".join(np.array(words, object)[rng.choice(300, 3000, p=probs)])
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    a = oracle_train(_cps(text), 120, cfg)
+    b = _run_impl("delta", _cps(text), 120, cfg)
+    assert a.rules == b.rules
+    assert a.char2id == b.char2id
+
+
+def test_delta_tiny_dcap_overflow_fallback():
+    """Force the delta buffer to overflow so the full-recount fallback
+    path runs (semantics must not change)."""
+    from youtokentome_tpu.host import preprocess
+    from youtokentome_tpu.models.state import check_config
+    from youtokentome_tpu.ops import train_delta, train_stream
+    from youtokentome_tpu.oracle import rename_tokens
+
+    text = "abab abba baab aabb abab abba " * 20
+    cps = _cps(text)
+    cfg = check_config(BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3)), 20)
+    uniq, cnt, data_len = preprocess.char_frequencies(cps)
+    alphabet = preprocess.build_alphabet(uniq, cnt, data_len, 1.0, 4)
+    used0 = len(alphabet.char2id) + 4
+    buckets = preprocess.training_word_buckets(cps, alphabet)
+
+    ref = train_stream.run_training_stream(buckets, used0, 20)
+
+    os.environ["YTTM_TRAIN_DCAP"] = "16"  # every round overflows
+    try:
+        got = train_delta.run_training_delta(buckets, used0, 20)
+    finally:
+        del os.environ["YTTM_TRAIN_DCAP"]
+    assert got == ref

@@ -1,0 +1,374 @@
+"""Incremental-count BPE trainer: the v2 device training kernel.
+
+The v1 trainer (ops/train_stream.py) recounts every adjacent pair each
+round — an O(M log M) multi-operand sort over the whole token stream per
+round, the per-round hot spot.  The reference is O(N) total because it
+maintains pair counts *incrementally*: occurrence lists + count deltas
+at merge sites (pair2pos/pair2cnt, bpe.cpp:436-478) behind a lazily
+revalidated two-tier queue (bpe.cpp:149-314).
+
+This kernel is the tensor-native equivalent:
+
+  * an exact **pair-count table** lives on device: packed uint32 keys
+    (x<<16|y, valid while vocab < 65536) + int32 counts, capacity PCAP
+    — the analog of pair2cnt, always exact (no lazy revalidation
+    needed because updates are applied synchronously each round);
+  * per round, the tie-ordered top-k candidates come from a sort over
+    the *table* (|table| ~ unique pairs, 16-64x smaller than the
+    stream);
+  * merges are applied to the stream exactly as in v1 (the accepted
+    prefix of pairwise non-intersecting candidates, vectorized);
+  * count maintenance is **word-granular delta recounting**: only words
+    containing a merge site are recounted (before and after the apply);
+    the +/- contributions are compacted into a bounded delta buffer and
+    folded into the table with one sort over PCAP + 2*DCAP.  Words are
+    the natural delta unit because pairs never cross word boundaries
+    and the run-parity count rule (floor(run/2), bpe.cpp:140-143) is
+    confined to a word;
+  * rounds whose delta volume overflows the buffer (the earliest
+    rounds, where the top pair occurs in most words) fall back to a
+    full recount — the same amortization shape as the reference's
+    queue rebuilds.
+
+Semantics are identical to v1 (same candidate order, same k-deep
+acceptance, same apply); only the count bookkeeping differs, and the
+table is exact by construction at every round boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .train_stream import (
+    BIG,
+    PAD,
+    _segment_counts_flat,
+    _topk_candidates,
+    accept_prefix,
+    apply_accepted,
+    flatten_word_buckets,
+    pair_keys_and_weights,
+    store_rules,
+)
+
+PADKEY = jnp.uint32(0xFFFFFFFF)
+
+
+def _pack_key(kx: jnp.ndarray, ky: jnp.ndarray) -> jnp.ndarray:
+    """(x, y) -> x<<16 | y as uint32; invalid (BIG) -> PADKEY."""
+    key = (kx.astype(jnp.uint32) << 16) | (ky.astype(jnp.uint32) & 0xFFFF)
+    return jnp.where(kx == BIG, PADKEY, key)
+
+
+def _unpack_key(key: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    invalid = key == PADKEY
+    kx = jnp.where(invalid, BIG, (key >> 16).astype(jnp.int32))
+    ky = jnp.where(invalid, BIG, (key & 0xFFFF).astype(jnp.int32))
+    return kx, ky
+
+
+def _compact_kv(keep: jnp.ndarray, keys: jnp.ndarray, vals: jnp.ndarray, cap: int):
+    """Front-pack (key, val) pairs where ``keep`` into a [cap] buffer
+    (PADKEY / 0 fill).  Returns (keys [cap], vals [cap], n_keep)."""
+    n = keep.shape[0]
+    kpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    tgt = jnp.where(keep & (kpos < cap), kpos, cap)
+    ko = jnp.full((cap + 1,), PADKEY, jnp.uint32).at[tgt].set(keys)
+    vo = jnp.zeros((cap + 1,), vals.dtype).at[tgt].set(vals)
+    live = jnp.arange(cap) < n_keep
+    keys_o = jnp.where(live, ko[:cap], PADKEY)
+    vals_o = jnp.where(live, vo[:cap], 0)
+    return keys_o, vals_o, n_keep
+
+
+def _reduce_by_key(keys: jnp.ndarray, vals: jnp.ndarray, cap: int):
+    """Sort (key, val), sum vals per key, keep positive non-pad totals,
+    compact to [cap].  Val sums may be negative mid-stream (deltas), so
+    totals use a segment_sum over group ids rather than the cumsum/
+    cummax trick (which requires nonnegative values)."""
+    n = keys.shape[0]
+    ks, vs = lax.sort((keys, vals), num_keys=1)
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    sums = jax.ops.segment_sum(vs, gid, num_segments=n, indices_are_sorted=True)
+    total = sums[gid]
+    keep = first & (ks != PADKEY) & (total > 0)
+    return _compact_kv(keep, ks, total, cap)
+
+
+def _full_recount(t, wid, freq, pcap):
+    """Count every pair from scratch; table compacted to [pcap]."""
+    kx, ky, w = pair_keys_and_weights(t, wid, freq)
+    cnt, kx_s, ky_s = _segment_counts_flat(kx, ky, w, pack16=True)
+    keys = _pack_key(kx_s, ky_s)
+    keep = cnt > 0
+    return _compact_kv(keep, keys, cnt, pcap)
+
+
+def _affected_words(t, wid, acc, cx, cy):
+    """Per-word flag: does this word contain any occurrence of an
+    accepted pair?  [NSEG] bool, NSEG = M + 1."""
+    m = t.shape[0]
+    nseg = m + 1
+    nxt_t = jnp.concatenate([t[1:], jnp.full((1,), PAD, t.dtype)])
+    nxt_w = jnp.concatenate([wid[1:], jnp.full((1,), PAD, wid.dtype)])
+    valid = (wid >= 0) & (wid == nxt_w)
+    hit = valid & jnp.any(
+        acc[None, :] & (t[:, None] == cx[None, :]) & (nxt_t[:, None] == cy[None, :]),
+        axis=1,
+    )
+    seg_ids = jnp.where(wid >= 0, wid, nseg - 1)
+    aff = jax.ops.segment_max(
+        hit.astype(jnp.int32), seg_ids, num_segments=nseg, indices_are_sorted=True
+    )
+    return aff > 0
+
+
+def _delta_contributions(t, wid, freq, aff_words, dcap, sign):
+    """Pair contributions of affected words, compacted to [dcap] with
+    ``sign`` applied.  Returns (keys, weights, n, overflow)."""
+    m = t.shape[0]
+    kx, ky, w = pair_keys_and_weights(t, wid, freq)
+    in_aff = aff_words[jnp.clip(wid, 0, aff_words.shape[0] - 1)] & (wid >= 0)
+    mask = in_aff & (w > 0)
+    keys = jnp.where(mask, _pack_key(kx, ky), PADKEY)
+    vals = jnp.where(mask, sign * w, 0)
+    dk, dv, n = _compact_kv(mask, keys, vals, dcap)
+    return dk, dv, n, n > dcap
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vocab_size", "batch_k", "pcap", "dcap")
+)
+def train_rounds_delta(
+    t: jnp.ndarray,       # [M] int32 tokens, PAD-padded
+    wid: jnp.ndarray,     # [M] int32 word ids, PAD-padded
+    freq: jnp.ndarray,    # [WCAP] int32 word frequencies
+    tk: jnp.ndarray,      # [pcap] uint32 packed pair keys (count table)
+    tc: jnp.ndarray,      # [pcap] int32 exact pair counts
+    rules: jnp.ndarray,   # [vocab_size, 3] int32
+    used: jnp.ndarray,    # scalar int32
+    used_ids0: jnp.ndarray,
+    limit: jnp.ndarray,   # scalar int32: pause once used >= limit
+    vocab_size: int,
+    batch_k: int = 16,
+    pcap: int = 1 << 16,
+    dcap: int = 1 << 15,
+):
+    """Resumable merge rounds with an incrementally maintained count
+    table (see module docstring).  Stops early with ``table_overflow``
+    if live pairs ever exceed ``pcap`` (host retries with 2x pcap)."""
+    kb = batch_k
+
+    def cond(state):
+        _, _, _, used, done, overflow = state
+        return (~done) & (~overflow) & (used < jnp.minimum(vocab_size, limit))
+
+    def body(state):
+        (t, wid), (tk, tc), rules, used, _, _ = state
+        xs, ys = _unpack_key(tk)
+        cc, cx, cy = _topk_candidates(tc, xs, ys, kb)
+        acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, kb)
+        done = n_acc == 0
+
+        aff = _affected_words(t, wid, acc, cx, cy)
+        dk_old, dv_old, n_old, of_old = _delta_contributions(
+            t, wid, freq, aff, dcap, jnp.int32(-1)
+        )
+        t2, w2 = apply_accepted(t, wid, acc, cx, cy, zs)
+        dk_new, dv_new, n_new, of_new = _delta_contributions(
+            t2, w2, freq, aff, dcap, jnp.int32(1)
+        )
+
+        def delta_path(args):
+            tk, tc, dk_old, dv_old, dk_new, dv_new, t2, w2 = args
+            keys = jnp.concatenate([tk, dk_old, dk_new])
+            vals = jnp.concatenate([tc, dv_old, dv_new])
+            return _reduce_by_key(keys, vals, pcap)
+
+        def recount_path(args):
+            _, _, _, _, _, _, t2, w2 = args
+            return _full_recount(t2, w2, freq, pcap)
+
+        tk2, tc2, n_live = lax.cond(
+            of_old | of_new,
+            recount_path,
+            delta_path,
+            (tk, tc, dk_old, dv_old, dk_new, dv_new, t2, w2),
+        )
+        table_overflow = n_live > pcap
+
+        rules = store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size)
+        used = used + n_acc
+        return (t2, w2), (tk2, tc2), rules, used, done, table_overflow
+
+    (t2, w2), (tk2, tc2), rules, used, done, overflow = lax.while_loop(
+        cond,
+        body,
+        (
+            (t.astype(jnp.int32), wid.astype(jnp.int32)),
+            (tk, tc),
+            rules,
+            used.astype(jnp.int32),
+            jnp.asarray(False),
+            jnp.asarray(False),
+        ),
+    )
+    return t2, w2, tk2, tc2, rules, used, done, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("pcap",))
+def init_table(t, wid, freq, pcap: int):
+    return _full_recount(t, wid, freq, pcap)
+
+
+@jax.jit
+def _count_tokens(wid):
+    return jnp.sum((wid >= 0).astype(jnp.int32))
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(4, int(np.ceil(np.log2(max(int(x), 1)))))
+
+
+def _fit_table(tk, tc, pcap: int):
+    """Pad or slice the table to exactly [pcap] (host-side, one-time)."""
+    kh = np.asarray(tk)
+    ch = np.asarray(tc)
+    if kh.shape[0] >= pcap:
+        return jnp.asarray(kh[:pcap]), jnp.asarray(ch[:pcap])
+    ko = np.full(pcap, 0xFFFFFFFF, np.uint32)
+    co = np.zeros(pcap, np.int32)
+    ko[: kh.shape[0]] = kh
+    co[: ch.shape[0]] = ch
+    return jnp.asarray(ko), jnp.asarray(co)
+
+
+def run_training_delta(
+    buckets,
+    used_ids0: int,
+    vocab_size: int,
+    batch_k: int = 16,
+    progress_every: int = 0,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume_path: str | None = None,
+) -> List[Tuple[int, int, int]]:
+    """Host driver: mirrors run_training_stream (same progress /
+    checkpoint / resume contract; checkpoints are cross-compatible —
+    the count table is rebuilt from the stream on resume).
+
+    Extra housekeeping vs v1:
+      * the count table capacity starts at ~2x the initial unique-pair
+        count and doubles on table overflow (rare);
+      * the stream is re-packed to the next power of two when merges
+        have shrunk it below half capacity, so late rounds run on a
+        smaller M (each distinct M compiles once, persistently cached).
+    """
+    if not buckets:
+        print(f"WARNING merged only: {used_ids0} pairs of tokens", file=sys.stderr)
+        return []
+    if resume_path:
+        snap = np.load(resume_path)
+        t, wid, freq = snap["t"], snap["wid"], snap["freq"]
+        rules_h = snap["rules"]
+        used = int(snap["used"])
+        assert int(snap["used_ids0"]) == used_ids0
+        assert rules_h.shape[0] == vocab_size
+        rules = jnp.asarray(rules_h)
+    else:
+        t, wid, freq = flatten_word_buckets(buckets)
+        rules = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+        used = used_ids0
+
+    td = jnp.asarray(t)
+    wd = jnp.asarray(wid)
+    fd = jnp.asarray(freq)
+    u0 = jnp.asarray(used_ids0, jnp.int32)
+
+    import os
+
+    m = int(td.shape[0])
+    dcap = int(
+        os.environ.get("YTTM_TRAIN_DCAP", "0")
+    ) or _next_pow2(max(1 << 14, m >> 4))
+    tk, tc, n_live = init_table(td, wd, fd, m)
+    pcap = int(
+        os.environ.get("YTTM_TRAIN_PCAP", "0")
+    ) or _next_pow2(max(int(n_live) * 2, int(n_live) + 4 * batch_k + 1024))
+    tk, tc = _fit_table(tk, tc, pcap)
+
+    seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)
+    t_start = time.time()
+    while used < vocab_size:
+        limit = min(vocab_size, used + seg)
+        td, wd, tk, tc, rules, used_d, done, overflow = train_rounds_delta(
+            td, wd, fd, tk, tc, rules,
+            jnp.asarray(used, jnp.int32), u0,
+            jnp.asarray(limit, jnp.int32), vocab_size, batch_k, pcap, dcap,
+        )
+        used = int(used_d)
+        if bool(overflow):
+            pcap *= 2
+            tk, tc, n_live = init_table(td, wd, fd, int(td.shape[0]))
+            tk, tc = _fit_table(tk, tc, pcap)
+            continue
+        if progress_every:
+            n_merges = used - used_ids0
+            dt = time.time() - t_start
+            print(
+                f"id: {used}/{vocab_size}  merges: {n_merges}  "
+                f"({dt:.1f}s, {n_merges / max(dt, 1e-9):.0f} merges/s)",
+                file=sys.stderr,
+            )
+        if checkpoint_path and checkpoint_every and used < vocab_size:
+            np.savez(
+                checkpoint_path,
+                t=np.asarray(td),
+                wid=np.asarray(wd),
+                freq=np.asarray(fd),
+                rules=np.asarray(rules),
+                used=used,
+                used_ids0=used_ids0,
+            )
+        if bool(done):
+            break
+        # shrink the stream once merges have halved it
+        m = int(td.shape[0])
+        if m > 1 << 14:
+            n_tok = int(_count_tokens(wd))
+            m_new = _next_pow2(n_tok)
+            if m_new <= m // 2:
+                th = np.asarray(td)
+                wh = np.asarray(wd)
+                keep = wh >= 0
+                tp = np.full(m_new, PAD, np.int32)
+                wp = np.full(m_new, PAD, np.int32)
+                nk = int(keep.sum())
+                tp[:nk] = th[keep]
+                wp[:nk] = wh[keep]
+                td, wd = jnp.asarray(tp), jnp.asarray(wp)
+                dcap = min(dcap, _next_pow2(max(1 << 14, m_new >> 4)))
+                tk, tc, n_live = init_table(td, wd, fd, m_new)
+                pcap = min(
+                    pcap,
+                    _next_pow2(
+                        max(int(n_live) * 2, int(n_live) + 4 * batch_k + 1024)
+                    ),
+                )
+                tk, tc = _fit_table(tk, tc, pcap)
+
+    n = used - used_ids0
+    if n < vocab_size - used_ids0:
+        print(f"WARNING merged only: {used} pairs of tokens", file=sys.stderr)
+    out = np.asarray(rules[:n])
+    return [tuple(map(int, r)) for r in out]

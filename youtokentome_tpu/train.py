@@ -19,6 +19,7 @@ import numpy as np
 
 from .host import preprocess
 from .models.state import BPEState, BpeConfig, check_config
+from .ops.train_delta import run_training_delta
 from .ops.train_stream import run_training_stream
 from .ops.utf8 import decode_utf8_bytes
 from .oracle import rename_tokens
@@ -57,7 +58,15 @@ def train_from_codepoints(
         )
 
     buckets = preprocess.training_word_buckets(cps, alphabet)
-    rules = run_training_stream(
+    # impl selection: "delta" = incremental-count trainer (v2, default;
+    # its packed uint32 pair keys need vocab < 65536); "stream" = full
+    # recount per round (v1, any vocab size)
+    impl = os.environ.get("YTTM_TRAIN_IMPL", "delta")
+    if impl == "delta" and vocab_size < 65536:
+        run = run_training_delta
+    else:
+        run = run_training_stream
+    rules = run(
         buckets,
         used_ids0,
         vocab_size,
