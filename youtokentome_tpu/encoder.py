@@ -79,6 +79,16 @@ class Encoder:
         self._stream = StreamEncoder(
             self.tables, self._sorted_cps, self._sorted_ids, self.space_id
         )
+        # persistent cross-batch word cache for the native path (stable
+        # uids + cached results; only novel words hit the device)
+        self._wcache: Optional[fasttok.WordCache] = None
+
+    def _word_cache(self) -> fasttok.WordCache:
+        if self._wcache is None:
+            self._wcache = fasttok.WordCache(
+                max_words=int(os.environ.get("YTTM_WORD_CACHE", str(1 << 22)))
+            )
+        return self._wcache
 
     # -- char -> id mapping with unknown-run collapse ----------------------
 
@@ -424,23 +434,33 @@ class Encoder:
             data, self._sorted_cps, self._sorted_ids, self.space_id
         )
 
+    def _tokenize_cached(self, data: bytes):
+        """Tokenize against the persistent word cache: device-encode only
+        words never seen before, register their results, return the
+        occurrence stream (global uids)."""
+        wc = self._word_cache()
+        words_flat, word_off, occ, base = wc.tokenize(
+            data, self._sorted_cps, self._sorted_ids, self.space_id
+        )
+        if word_off.size > 1:
+            rf, ro = self._merge_unique_words(words_flat, word_off)
+            unk = self.state.special_tokens.unk_id
+            rf = np.where(rf >= PLACEHOLDER_START, unk, rf)
+            wc.add_results(rf, ro, base)
+        return wc, occ
+
     def encode_text_cli(self, data: bytes) -> bytes:
         """CLI zero-copy path: newline-separated bytes in, reference-format
-        id text out.  C++ split/dedup -> device merge -> C++ expand."""
-        words_flat, word_off, occ, _ = self._tokenize_native(data)
-        rf, ro = self._merge_unique_words(words_flat, word_off)
-        unk = self.state.special_tokens.unk_id
-        rf = np.where(rf >= PLACEHOLDER_START, unk, rf)
-        return fasttok.expand_format(occ, rf, ro)
+        id text out.  C++ split/dedup -> device merge of novel words ->
+        C++ expand from the persistent result cache."""
+        wc, occ = self._tokenize_cached(data)
+        return wc.format(occ)
 
     def _encode_ids_native(
         self, data: bytes, n_sent: int, bos: bool, eos: bool, reverse: bool
     ) -> List[List[int]]:
-        words_flat, word_off, occ, _ = self._tokenize_native(data)
-        rf, ro = self._merge_unique_words(words_flat, word_off)
-        unk = self.state.special_tokens.unk_id
-        rf = np.where(rf >= PLACEHOLDER_START, unk, rf)
-        flat = fasttok.expand_ids(occ, rf, ro)
+        wc, occ = self._tokenize_cached(data)
+        flat = wc.expand_ids(occ)
         st = self.state.special_tokens
         marks = np.nonzero(flat == -1)[0]
         assert marks.size == n_sent, (marks.size, n_sent)

@@ -18,6 +18,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -123,6 +124,7 @@ struct WordMap {
   std::vector<Slot> slots;
   uint64_t mask;
   long count = 0;
+  Slot *last_inserted = nullptr;
 
   void init(long expect) {
     uint64_t cap = 1024;
@@ -130,6 +132,7 @@ struct WordMap {
     mask = cap - 1;
     slots.assign(cap, {nullptr, 0, -1});
     count = 0;
+    last_inserted = nullptr;
   }
 
   // Returns uid; sets *fresh when newly inserted.
@@ -144,6 +147,7 @@ struct WordMap {
         sl.uid = (int32_t)count;
         count++;
         *fresh = true;
+        last_inserted = &sl;
         return sl.uid;
       }
       if (sl.len == (int32_t)n && memcmp(sl.ptr, p, n) == 0) {
@@ -152,6 +156,12 @@ struct WordMap {
       }
       s = (s + 1) & mask;
     }
+  }
+
+  // Re-point the most recently inserted key at stable storage (the
+  // caller's input buffer dies after the call; the arena does not).
+  void repoint_last(const uint8_t *stable) {
+    if (last_inserted) last_inserted->ptr = stable;
   }
 
   void grow() {
@@ -168,9 +178,287 @@ struct WordMap {
   }
 };
 
+// Chunked byte arena: pointer-stable appends (chunks never move).
+struct Arena {
+  std::vector<std::unique_ptr<std::vector<uint8_t>>> chunks;
+  size_t used = 0;
+  static const size_t CH = 1 << 20;
+
+  const uint8_t *put(const void *p, size_t n) {
+    if (chunks.empty() || used + n > chunks.back()->size()) {
+      chunks.emplace_back(new std::vector<uint8_t>(n > CH ? n : CH));
+      used = 0;
+    }
+    uint8_t *dst = chunks.back()->data() + used;
+    memcpy(dst, p, n);
+    used += n;
+    return dst;
+  }
+
+  void clear() {
+    chunks.clear();
+    used = 0;
+  }
+};
+
+// Decimal LUT: "NNNNN " 8-byte strided for single-store copies.
+struct DecLut {
+  std::vector<char> buf;
+  std::vector<uint8_t> len;
+
+  DecLut() {
+    buf.resize(65536 * 8);
+    len.resize(65536);
+    for (int v = 0; v < 65536; v++) {
+      char *q = &buf[(size_t)v * 8];
+      int k = 0, x = v;
+      char tmp[8];
+      do {
+        tmp[k++] = '0' + (x % 10);
+        x /= 10;
+      } while (x);
+      int l = 0;
+      while (k) q[l++] = tmp[--k];
+      q[l++] = ' ';
+      len[v] = (uint8_t)l;
+    }
+  }
+
+  // Append "v " to p (p must have >= 12 bytes of slack); returns new p.
+  inline char *emit(char *p, int32_t v) const {
+    if ((uint32_t)v < 65536u) {
+      memcpy(p, &buf[(size_t)v * 8], 8);
+      return p + len[v];
+    }
+    char tmp[12];
+    int k = 0;
+    uint32_t x;
+    if (v < 0) { *p++ = '-'; x = (uint32_t)(-(int64_t)v); }
+    else x = (uint32_t)v;
+    do {
+      tmp[k++] = '0' + (x % 10);
+      x /= 10;
+    } while (x);
+    while (k) *p++ = tmp[--k];
+    *p++ = ' ';
+    return p;
+  }
+};
+
+const DecLut &dec_lut() {
+  static DecLut lut;
+  return lut;
+}
+
+// Persistent word-cache context: stable uids across batches, cached
+// merge results (ids + pre-formatted text) per unique word.  The
+// tensor-era analog of keeping the reference's word hash map alive
+// across stdin batches (the reference re-dedups per batch,
+// bpe.cpp:1976-1983) — on natural text later batches contain almost no
+// novel words, so the device only ever sees fresh ones.
+struct Ctx {
+  WordMap wmap;
+  Arena word_bytes;   // raw bytes of unique words (hash-map keys)
+  Arena result_data;  // cached ids + formatted text
+  std::vector<const int32_t *> ids_ptr;
+  std::vector<int32_t> ids_len;
+  std::vector<const char *> fmt_ptr;
+  std::vector<int32_t> fmt_len;
+  long n_results = 0;  // uids with registered results
+
+  Ctx() { wmap.init(1 << 15); }
+
+  void reset() {
+    wmap.init(1 << 15);
+    word_bytes.clear();
+    result_data.clear();
+    ids_ptr.clear();
+    ids_len.clear();
+    fmt_ptr.clear();
+    fmt_len.clear();
+    n_results = 0;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void *yttm_ctx_new() { return new Ctx(); }
+void yttm_ctx_free(void *c) { delete (Ctx *)c; }
+void yttm_ctx_reset(void *c) { ((Ctx *)c)->reset(); }
+long yttm_ctx_n_words(void *c) { return ((Ctx *)c)->wmap.count; }
+
+// Tokenize one batch against the persistent word cache.
+//
+//   occ_stream [occ_cap]   per item: GLOBAL uid >= 0, or -1 for '\n'
+//   words_flat/word_off    id sequences of the batch's NEW unique words
+//                          (word_off[k] for local k in [0, n_new])
+//   out[0..4] = n_flat, n_new, n_occ, error, base_uid
+//
+// New words get uids base_uid, base_uid+1, ... in discovery order.
+void yttm_ctx_tokenize(void *cptr, const uint8_t *data, long n,
+                       const uint32_t *alpha_cps, const int32_t *alpha_ids,
+                       long n_alpha, int32_t space_id, int32_t *words_flat,
+                       long words_cap, int32_t *word_off, long uniq_cap,
+                       int32_t *occ_stream, long occ_cap, int64_t *out) {
+  Ctx &ctx = *(Ctx *)cptr;
+  CharMap cmap;
+  cmap.build(alpha_cps, alpha_ids, n_alpha);
+  long base_uid = ctx.wmap.count;
+
+  long flat = 0;
+  long occ = 0;
+  long n_new = 0;
+  word_off[0] = 0;
+
+  long i = 0;
+  while (i < n) {
+    uint8_t b = data[i];
+    if (b == 0x0A) {
+      if (occ >= occ_cap) { out[3] = -1; return; }
+      occ_stream[occ++] = -1;
+      i++;
+      continue;
+    }
+    if (is_space_byte(b)) { i++; continue; }
+    if (is_meta_space(data + i, n - i)) { i += 3; continue; }
+    long ws = i;
+    while (i < n) {
+      uint8_t c = data[i];
+      if (is_space_byte(c) || is_meta_space(data + i, n - i)) break;
+      i++;
+    }
+    long we = i;
+    bool fresh = false;
+    int32_t uid = ctx.wmap.get_or_add(data + ws, we - ws, &fresh);
+    if (fresh) {
+      if (n_new >= uniq_cap) { out[3] = -1; return; }
+      // re-point the just-inserted slot at arena-owned bytes (the batch
+      // buffer dies after this call)
+      const uint8_t *stable = ctx.word_bytes.put(data + ws, we - ws);
+      ctx.wmap.repoint_last(stable);
+      if (flat >= words_cap) { out[3] = -1; return; }
+      words_flat[flat++] = space_id;
+      long j = ws;
+      bool in_unknown = false;
+      int32_t next_ph = PLACEHOLDER_START;
+      while (j < we) {
+        int len;
+        uint32_t cp = decode_char(data + j, we - j, &len);
+        j += len;
+        if (cp == INVALID_CP) continue;
+        int32_t id = cmap.get(cp);
+        if (id >= 0) {
+          if (flat >= words_cap) { out[3] = -1; return; }
+          words_flat[flat++] = id;
+          in_unknown = false;
+        } else {
+          if (!in_unknown) {
+            if (flat >= words_cap) { out[3] = -1; return; }
+            words_flat[flat++] = next_ph++;
+            in_unknown = true;
+          }
+        }
+      }
+      n_new++;
+      word_off[n_new] = (int32_t)flat;
+    }
+    if (occ >= occ_cap) { out[3] = -1; return; }
+    occ_stream[occ++] = uid;
+  }
+  out[0] = flat;
+  out[1] = n_new;
+  out[2] = occ;
+  out[3] = 0;
+  out[4] = base_uid;
+}
+
+// Register merge results for uids [base_uid, base_uid + n_new): cache
+// the ids and their pre-formatted "id id ... " text.
+void yttm_ctx_add_results(void *cptr, const int32_t *results_flat,
+                          const int32_t *res_off, long base_uid, long n_new) {
+  Ctx &ctx = *(Ctx *)cptr;
+  const DecLut &lut = dec_lut();
+  if ((long)ctx.ids_ptr.size() < base_uid + n_new) {
+    ctx.ids_ptr.resize(base_uid + n_new);
+    ctx.ids_len.resize(base_uid + n_new);
+    ctx.fmt_ptr.resize(base_uid + n_new);
+    ctx.fmt_len.resize(base_uid + n_new);
+  }
+  std::vector<char> scratch;
+  for (long k = 0; k < n_new; k++) {
+    int32_t a = res_off[k], b = res_off[k + 1];
+    long uid = base_uid + k;
+    ctx.ids_ptr[uid] = (const int32_t *)ctx.result_data.put(
+        results_flat + a, (size_t)(b - a) * 4);
+    ctx.ids_len[uid] = b - a;
+    scratch.resize((size_t)(b - a) * 12 + 16);
+    char *p = scratch.data();
+    for (int32_t j = a; j < b; j++) p = lut.emit(p, results_flat[j]);
+    ctx.fmt_ptr[uid] =
+        (const char *)ctx.result_data.put(scratch.data(), p - scratch.data());
+    ctx.fmt_len[uid] = (int32_t)(p - scratch.data());
+  }
+  ctx.n_results = base_uid + n_new;
+}
+
+// Expand an occurrence stream (global uids) to formatted CLI text.
+long yttm_ctx_format(void *cptr, const int32_t *occ_stream, long n_occ,
+                     char *out_text, long out_cap) {
+  Ctx &ctx = *(Ctx *)cptr;
+  char *p = out_text;
+  char *end = out_text + out_cap - 16;
+  for (long i = 0; i < n_occ; i++) {
+    int32_t u = occ_stream[i];
+    if (u < 0) {
+      if (p >= end) return -1;
+      *p++ = '\n';
+      continue;
+    }
+    int32_t l = ctx.fmt_len[u];
+    if (p + l >= end) return -1;
+    memcpy(p, ctx.fmt_ptr[u], l);
+    p += l;
+  }
+  return p - out_text;
+}
+
+// Expand an occurrence stream to a flat id array (-1 at '\n').
+long yttm_ctx_expand_ids(void *cptr, const int32_t *occ_stream, long n_occ,
+                         int32_t *out_ids, long out_cap) {
+  Ctx &ctx = *(Ctx *)cptr;
+  long m = 0;
+  for (long i = 0; i < n_occ; i++) {
+    int32_t u = occ_stream[i];
+    if (u < 0) {
+      if (m >= out_cap) return -1;
+      out_ids[m++] = -1;
+      continue;
+    }
+    int32_t l = ctx.ids_len[u];
+    if (m + l > out_cap) return -1;
+    memcpy(out_ids + m, ctx.ids_ptr[u], (size_t)l * 4);
+    m += l;
+  }
+  return m;
+}
+
+// Total byte length of the ids of an occurrence stream (for sizing).
+long yttm_ctx_out_bound(void *cptr, const int32_t *occ_stream, long n_occ,
+                        long *n_ids, long *n_text) {
+  Ctx &ctx = *(Ctx *)cptr;
+  long ids = 0, text = 0;
+  for (long i = 0; i < n_occ; i++) {
+    int32_t u = occ_stream[i];
+    if (u < 0) { ids += 1; text += 1; continue; }
+    ids += ctx.ids_len[u];
+    text += ctx.fmt_len[u];
+  }
+  *n_ids = ids;
+  *n_text = text;
+  return 0;
+}
 
 // Tokenize a newline-separated byte stream into a unique-word table and
 // an occurrence stream.
@@ -265,11 +553,36 @@ void yttm_tokenize(const uint8_t *data, long n, const uint32_t *alpha_cps,
 // reference CLI text ("id id \n" per sentence).  results_flat/res_off
 // describe the merged token ids of each unique word.  Returns bytes
 // written, or -1 if out_cap is too small.
+//
+// Two-pass: (1) format every *unique* word once into a scratch arena
+// using a decimal LUT ("id " for all ids < 65536, 8-byte strided so the
+// copy is a single unconditional 8-byte store), (2) memcpy each
+// occurrence's pre-formatted span.  The naive per-occurrence digit loop
+// was the CLI encode bottleneck (~22 MB/s); this runs at memcpy speed.
 long yttm_expand_format(const int32_t *occ_stream, long n_occ,
                         const int32_t *results_flat, const int32_t *res_off,
                         char *out_text, long out_cap) {
+  const DecLut &lut = dec_lut();
+
+  // pass 1: format unique words into a scratch arena
+  long n_uniq = 0;
+  for (long i = 0; i < n_occ; i++)
+    if (occ_stream[i] >= n_uniq) n_uniq = occ_stream[i] + 1;
+  std::vector<long> warena_off(n_uniq + 1, 0);
+  long flat_total = n_uniq ? res_off[n_uniq] : 0;
+  std::vector<char> arena((size_t)flat_total * 12 + 16);
+  char *ap = arena.data();
+  for (long u = 0; u < n_uniq; u++) {
+    warena_off[u] = ap - arena.data();
+    for (int32_t j = res_off[u]; j < res_off[u + 1]; j++)
+      ap = lut.emit(ap, results_flat[j]);
+  }
+  warena_off[n_uniq] = ap - arena.data();
+
+  // pass 2: memcpy per occurrence
   char *p = out_text;
   char *end = out_text + out_cap - 16;
+  const char *ab = arena.data();
   for (long i = 0; i < n_occ; i++) {
     int32_t u = occ_stream[i];
     if (u < 0) {
@@ -277,19 +590,10 @@ long yttm_expand_format(const int32_t *occ_stream, long n_occ,
       *p++ = '\n';
       continue;
     }
-    for (int32_t j = res_off[u]; j < res_off[u + 1]; j++) {
-      if (p >= end) return -1;
-      int32_t v = results_flat[j];
-      char tmp[12];
-      int k = 0;
-      if (v < 0) *p++ = '-', v = -v;
-      do {
-        tmp[k++] = '0' + (v % 10);
-        v /= 10;
-      } while (v);
-      while (k) *p++ = tmp[--k];
-      *p++ = ' ';
-    }
+    long a = warena_off[u], b = warena_off[u + 1];
+    if (p + (b - a) >= end) return -1;
+    memcpy(p, ab + a, b - a);
+    p += b - a;
   }
   return p - out_text;
 }

@@ -61,6 +61,45 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_long,
             ]
+            lib.yttm_ctx_new.restype = ctypes.c_void_p
+            lib.yttm_ctx_new.argtypes = []
+            lib.yttm_ctx_free.restype = None
+            lib.yttm_ctx_free.argtypes = [ctypes.c_void_p]
+            lib.yttm_ctx_reset.restype = None
+            lib.yttm_ctx_reset.argtypes = [ctypes.c_void_p]
+            lib.yttm_ctx_n_words.restype = ctypes.c_long
+            lib.yttm_ctx_n_words.argtypes = [ctypes.c_void_p]
+            lib.yttm_ctx_tokenize.restype = None
+            lib.yttm_ctx_tokenize.argtypes = [
+                ctypes.c_void_p,                           # ctx
+                ctypes.c_void_p, ctypes.c_long,            # data, n
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,  # alphabet
+                ctypes.c_int32,                            # space_id
+                ctypes.c_void_p, ctypes.c_long,            # words_flat
+                ctypes.c_void_p, ctypes.c_long,            # word_off / uniq_cap
+                ctypes.c_void_p, ctypes.c_long,            # occ_stream
+                ctypes.c_void_p,                           # out
+            ]
+            lib.yttm_ctx_add_results.restype = None
+            lib.yttm_ctx_add_results.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_long, ctypes.c_long,
+            ]
+            lib.yttm_ctx_format.restype = ctypes.c_long
+            lib.yttm_ctx_format.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_long,
+            ]
+            lib.yttm_ctx_expand_ids.restype = ctypes.c_long
+            lib.yttm_ctx_expand_ids.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_long,
+            ]
+            lib.yttm_ctx_out_bound.restype = ctypes.c_long
+            lib.yttm_ctx_out_bound.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -130,6 +169,122 @@ def expand_format(
     if k < 0:
         raise RuntimeError("expand_format capacity")
     return buf[:k].tobytes()
+
+
+class WordCache:
+    """Persistent cross-batch word cache (C++ context).
+
+    Unique words keep stable uids across batches; merge results (ids +
+    pre-formatted CLI text) are cached per uid, so later batches only
+    device-encode words never seen before.  ``max_words`` bounds memory
+    via epoch eviction (full reset), like the encoder's Python cache.
+    """
+
+    def __init__(self, max_words: int = 1 << 22):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        self._ctx = lib.yttm_ctx_new()
+        self.max_words = max_words
+
+    def __del__(self):
+        try:
+            if self._ctx:
+                self._lib.yttm_ctx_free(self._ctx)
+                self._ctx = None
+        except Exception:
+            pass
+
+    @property
+    def n_words(self) -> int:
+        return int(self._lib.yttm_ctx_n_words(self._ctx))
+
+    def maybe_evict(self) -> None:
+        if self.n_words > self.max_words:
+            self._lib.yttm_ctx_reset(self._ctx)
+
+    def tokenize(
+        self, data: bytes, alpha_cps: np.ndarray, alpha_ids: np.ndarray,
+        space_id: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Returns (new_words_flat, new_word_off [n_new+1],
+        occ_stream with global uids, base_uid)."""
+        self.maybe_evict()
+        n = len(data)
+        words_cap = (3 * n) // 2 + 16
+        uniq_cap = n // 2 + 4
+        occ_cap = n + 4
+        words_flat = np.empty(words_cap, np.int32)
+        word_off = np.empty(uniq_cap + 1, np.int32)
+        occ = np.empty(occ_cap, np.int32)
+        out = np.zeros(8, np.int64)
+        cps = np.ascontiguousarray(alpha_cps, dtype=np.uint32)
+        ids = np.ascontiguousarray(alpha_ids, dtype=np.int32)
+        self._lib.yttm_ctx_tokenize(
+            self._ctx,
+            ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p), n,
+            cps.ctypes.data_as(ctypes.c_void_p),
+            ids.ctypes.data_as(ctypes.c_void_p), cps.size,
+            space_id,
+            words_flat.ctypes.data_as(ctypes.c_void_p), words_cap,
+            word_off.ctypes.data_as(ctypes.c_void_p), uniq_cap,
+            occ.ctypes.data_as(ctypes.c_void_p), occ_cap,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if out[3] != 0:
+            raise RuntimeError("fasttok ctx capacity exceeded")
+        n_flat, n_new, n_occ, _, base = (int(x) for x in out[:5])
+        return (
+            words_flat[:n_flat],
+            word_off[: n_new + 1],
+            occ[:n_occ],
+            base,
+        )
+
+    def add_results(
+        self, results_flat: np.ndarray, res_off: np.ndarray, base_uid: int
+    ) -> None:
+        rf = np.ascontiguousarray(results_flat, np.int32)
+        ro = np.ascontiguousarray(res_off, np.int32)
+        self._lib.yttm_ctx_add_results(
+            self._ctx,
+            rf.ctypes.data_as(ctypes.c_void_p),
+            ro.ctypes.data_as(ctypes.c_void_p),
+            base_uid, ro.size - 1,
+        )
+
+    def _bounds(self, occ: np.ndarray) -> Tuple[int, int]:
+        n_ids = ctypes.c_long(0)
+        n_text = ctypes.c_long(0)
+        self._lib.yttm_ctx_out_bound(
+            self._ctx, occ.ctypes.data_as(ctypes.c_void_p), occ.size,
+            ctypes.byref(n_ids), ctypes.byref(n_text),
+        )
+        return n_ids.value, n_text.value
+
+    def format(self, occ: np.ndarray) -> bytes:
+        occ = np.ascontiguousarray(occ, np.int32)
+        _, cap = self._bounds(occ)
+        buf = np.empty(cap + 64, dtype=np.uint8)
+        k = self._lib.yttm_ctx_format(
+            self._ctx, occ.ctypes.data_as(ctypes.c_void_p), occ.size,
+            buf.ctypes.data_as(ctypes.c_void_p), cap + 64,
+        )
+        if k < 0:
+            raise RuntimeError("ctx format capacity")
+        return buf[:k].tobytes()
+
+    def expand_ids(self, occ: np.ndarray) -> np.ndarray:
+        occ = np.ascontiguousarray(occ, np.int32)
+        cap, _ = self._bounds(occ)
+        out = np.empty(cap + 4, np.int32)
+        k = self._lib.yttm_ctx_expand_ids(
+            self._ctx, occ.ctypes.data_as(ctypes.c_void_p), occ.size,
+            out.ctypes.data_as(ctypes.c_void_p), cap + 4,
+        )
+        if k < 0:
+            raise RuntimeError("ctx expand capacity")
+        return out[:k]
 
 
 def expand_ids(

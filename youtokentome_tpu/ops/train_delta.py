@@ -226,14 +226,31 @@ def train_rounds_delta(
     return t2, w2, tk2, tc2, rules, used, done, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("pcap",))
-def init_table(t, wid, freq, pcap: int):
-    return _full_recount(t, wid, freq, pcap)
-
-
-@jax.jit
-def _count_tokens(wid):
-    return jnp.sum((wid >= 0).astype(jnp.int32))
+def host_count_table(t: np.ndarray, wid: np.ndarray, freq: np.ndarray):
+    """Exact initial pair-count table on the host (numpy mirror of
+    pair_keys_and_weights + reduce-by-key).  A device init program would
+    cost ~1-2 min of remote compilation on the axon toolchain for 10 ms
+    of work; numpy does it instantly."""
+    t = np.asarray(t, np.int64)
+    wid = np.asarray(wid, np.int64)
+    freq = np.asarray(freq, np.int64)
+    m = t.size
+    idx = np.arange(m, dtype=np.int64)
+    nxt_t = np.concatenate([t[1:], [PAD]])
+    nxt_w = np.concatenate([wid[1:], [PAD]])
+    valid = (wid >= 0) & (wid == nxt_w)
+    eq = valid & (t == nxt_t)
+    last_noneq = np.maximum.accumulate(np.where(eq, -1, idx))
+    offset = idx - last_noneq - 1
+    counted = valid & (~eq | (offset % 2 == 0))
+    w = np.where(counted, freq[np.maximum(wid, 0)], 0)
+    sel = w > 0
+    keys = ((t[sel].astype(np.uint64) << 16) | nxt_t[sel].astype(np.uint64)).astype(
+        np.uint32
+    )
+    uk, inv = np.unique(keys, return_inverse=True)
+    cnts = np.bincount(inv, weights=w[sel].astype(np.float64)).astype(np.int64)
+    return uk, cnts.astype(np.int32)
 
 
 def _next_pow2(x: int) -> int:
@@ -267,12 +284,12 @@ def run_training_delta(
     checkpoint / resume contract; checkpoints are cross-compatible —
     the count table is rebuilt from the stream on resume).
 
-    Extra housekeeping vs v1:
-      * the count table capacity starts at ~2x the initial unique-pair
-        count and doubles on table overflow (rare);
-      * the stream is re-packed to the next power of two when merges
-        have shrunk it below half capacity, so late rounds run on a
-        smaller M (each distinct M compiles once, persistently cached).
+    Compile discipline: on the axon toolchain each distinct program
+    shape costs ~1-2 min of remote compilation and the persistent cache
+    does not apply, so this driver compiles exactly ONE device program
+    per training run: the initial count table is built on the host
+    (numpy), pcap is sized so table overflow is rare (overflow doubles
+    pcap — one extra compile), and the stream is never re-packed.
     """
     if not buckets:
         print(f"WARNING merged only: {used_ids0} pairs of tokens", file=sys.stderr)
@@ -301,11 +318,16 @@ def run_training_delta(
     dcap = int(
         os.environ.get("YTTM_TRAIN_DCAP", "0")
     ) or _next_pow2(max(1 << 14, m >> 4))
-    tk, tc, n_live = init_table(td, wd, fd, m)
+    uk, uc = host_count_table(t, wid, freq)
+    n_live = uk.size
+    # live pairs grow with vocab (each merge creates (l,z)/(z,r) kinds):
+    # leave room for ~8 new kinds per merge so overflow recompiles are rare
     pcap = int(
         os.environ.get("YTTM_TRAIN_PCAP", "0")
-    ) or _next_pow2(max(int(n_live) * 2, int(n_live) + 4 * batch_k + 1024))
-    tk, tc = _fit_table(tk, tc, pcap)
+    ) or _next_pow2(
+        max(2 * n_live, n_live + 8 * max(vocab_size - used_ids0, 0), 1 << 14)
+    )
+    tk, tc = _fit_table(uk, uc, pcap)
 
     seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)
     t_start = time.time()
@@ -319,8 +341,10 @@ def run_training_delta(
         used = int(used_d)
         if bool(overflow):
             pcap *= 2
-            tk, tc, n_live = init_table(td, wd, fd, int(td.shape[0]))
-            tk, tc = _fit_table(tk, tc, pcap)
+            uk, uc = host_count_table(
+                np.asarray(td), np.asarray(wd), np.asarray(fd)
+            )
+            tk, tc = _fit_table(uk, uc, pcap)
             continue
         if progress_every:
             n_merges = used - used_ids0
@@ -342,30 +366,6 @@ def run_training_delta(
             )
         if bool(done):
             break
-        # shrink the stream once merges have halved it
-        m = int(td.shape[0])
-        if m > 1 << 14:
-            n_tok = int(_count_tokens(wd))
-            m_new = _next_pow2(n_tok)
-            if m_new <= m // 2:
-                th = np.asarray(td)
-                wh = np.asarray(wd)
-                keep = wh >= 0
-                tp = np.full(m_new, PAD, np.int32)
-                wp = np.full(m_new, PAD, np.int32)
-                nk = int(keep.sum())
-                tp[:nk] = th[keep]
-                wp[:nk] = wh[keep]
-                td, wd = jnp.asarray(tp), jnp.asarray(wp)
-                dcap = min(dcap, _next_pow2(max(1 << 14, m_new >> 4)))
-                tk, tc, n_live = init_table(td, wd, fd, m_new)
-                pcap = min(
-                    pcap,
-                    _next_pow2(
-                        max(int(n_live) * 2, int(n_live) + 4 * batch_k + 1024)
-                    ),
-                )
-                tk, tc = _fit_table(tk, tc, pcap)
 
     n = used - used_ids0
     if n < vocab_size - used_ids0:
