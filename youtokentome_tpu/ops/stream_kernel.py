@@ -54,17 +54,17 @@ PAD = -1
 
 
 def _compact(keep: jnp.ndarray, arrays, fill=PAD):
-    """Front-pack each array's kept entries (order preserved) via a
-    cumsum + one-hot scatter; dropped entries land in a dump slot."""
+    """Front-pack each array's kept entries (order preserved) via ONE
+    multi-operand sort keyed on kept position.  Scatter-free: XLA lowers
+    masked scatters to serialized HBM updates on TPU (~3x slower than
+    the fused bitonic sort network this compiles to)."""
     n = keep.shape[0]
-    kpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(keep, idx, jnp.int32(0x7FFFFFFF))
+    sorted_ = lax.sort((key,) + tuple(arrays), num_keys=1)[1:]
     n_keep = jnp.sum(keep.astype(jnp.int32))
-    tgt = jnp.where(keep, kpos, n)  # dump slot n (sliced off)
-    live = jnp.arange(n) < n_keep
-    outs = []
-    for a in arrays:
-        o = jnp.full((n + 1,), fill, a.dtype).at[tgt].set(a)
-        outs.append(jnp.where(live, o[:n], fill))
+    live = idx < n_keep
+    outs = [jnp.where(live, a, jnp.asarray(fill, a.dtype)) for a in sorted_]
     return outs, n_keep
 
 

@@ -50,12 +50,13 @@ from jax import lax
 from .train_stream import (
     BIG,
     PAD,
-    _segment_counts_flat,
     _topk_candidates,
     accept_prefix,
     apply_accepted,
     flatten_word_buckets,
-    pair_keys_and_weights,
+    pair_hits,
+    pair_keys_and_weights_fw,
+    sort_compact,
     store_rules,
 )
 
@@ -77,71 +78,78 @@ def _unpack_key(key: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _compact_kv(keep: jnp.ndarray, keys: jnp.ndarray, vals: jnp.ndarray, cap: int):
     """Front-pack (key, val) pairs where ``keep`` into a [cap] buffer
-    (PADKEY / 0 fill).  Returns (keys [cap], vals [cap], n_keep)."""
-    n = keep.shape[0]
-    kpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    n_keep = jnp.sum(keep.astype(jnp.int32))
-    tgt = jnp.where(keep & (kpos < cap), kpos, cap)
-    ko = jnp.full((cap + 1,), PADKEY, jnp.uint32).at[tgt].set(keys)
-    vo = jnp.zeros((cap + 1,), vals.dtype).at[tgt].set(vals)
-    live = jnp.arange(cap) < n_keep
-    keys_o = jnp.where(live, ko[:cap], PADKEY)
-    vals_o = jnp.where(live, vo[:cap], 0)
-    return keys_o, vals_o, n_keep
+    (PADKEY / 0 fill) via one 3-operand sort (scatter-free: TPU scatters
+    serialize, sorts don't).  Returns (keys [cap], vals [cap], n_keep)."""
+    (ko, vo), n_keep = sort_compact(
+        keep,
+        (jnp.where(keep, keys, PADKEY), jnp.where(keep, vals, 0)),
+        (PADKEY, 0),
+    )
+    n = ko.shape[0]
+    if n < cap:
+        ko = jnp.concatenate([ko, jnp.full((cap - n,), PADKEY, ko.dtype)])
+        vo = jnp.concatenate([vo, jnp.zeros((cap - n,), vo.dtype)])
+    return ko[:cap], vo[:cap], n_keep
 
 
 def _reduce_by_key(keys: jnp.ndarray, vals: jnp.ndarray, cap: int):
     """Sort (key, val), sum vals per key, keep positive non-pad totals,
-    compact to [cap].  Val sums may be negative mid-stream (deltas), so
-    totals use a segment_sum over group ids rather than the cumsum/
-    cummax trick (which requires nonnegative values)."""
+    compact to [cap].  Per-key totals land at segment ends via the
+    global-cumsum-minus-segment-base trick (works for negative deltas,
+    unlike cummax-of-end-marks; no scatter-lowered segment_sum)."""
     n = keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
     ks, vs = lax.sort((keys, vals), num_keys=1)
     first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    gid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    sums = jax.ops.segment_sum(vs, gid, num_segments=n, indices_are_sorted=True)
-    total = sums[gid]
-    keep = first & (ks != PADKEY) & (total > 0)
+    cs = jnp.cumsum(vs)
+    ws = lax.cummax(jnp.where(first, idx, 0))
+    total = cs - (cs[ws] - vs[ws])
+    is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+    keep = is_end & (ks != PADKEY) & (total > 0)
     return _compact_kv(keep, ks, total, cap)
 
 
-def _full_recount(t, wid, freq, pcap):
+def _full_recount(t, wid, fw, pcap):
     """Count every pair from scratch; table compacted to [pcap]."""
-    kx, ky, w = pair_keys_and_weights(t, wid, freq)
-    cnt, kx_s, ky_s = _segment_counts_flat(kx, ky, w, pack16=True)
-    keys = _pack_key(kx_s, ky_s)
-    keep = cnt > 0
-    return _compact_kv(keep, keys, cnt, pcap)
+    kx, ky, w = pair_keys_and_weights_fw(t, wid, fw)
+    keys = jnp.where(w > 0, _pack_key(kx, ky), PADKEY)
+    vals = jnp.where(w > 0, w, 0)
+    return _reduce_by_key(keys, vals, pcap)
 
 
-def _affected_words(t, wid, acc, cx, cy):
-    """Per-word flag: does this word contain any occurrence of an
-    accepted pair?  [NSEG] bool, NSEG = M + 1."""
+def _affected_positions(t, wid, hit):
+    """Per-position flag: does MY word contain any accepted-pair hit?
+
+    Scan-only (no segment reductions): word-start/word-end indices come
+    from cummax over position indices; a word is affected iff the last
+    hit at-or-after its start is inside it (forward scan) or the next
+    hit at-or-before its end is (backward scan)."""
     m = t.shape[0]
-    nseg = m + 1
-    nxt_t = jnp.concatenate([t[1:], jnp.full((1,), PAD, t.dtype)])
-    nxt_w = jnp.concatenate([wid[1:], jnp.full((1,), PAD, wid.dtype)])
-    valid = (wid >= 0) & (wid == nxt_w)
-    hit = valid & jnp.any(
-        acc[None, :] & (t[:, None] == cx[None, :]) & (nxt_t[:, None] == cy[None, :]),
-        axis=1,
+    idx = jnp.arange(m, dtype=jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), wid[1:] != wid[:-1]]
     )
-    seg_ids = jnp.where(wid >= 0, wid, nseg - 1)
-    aff = jax.ops.segment_max(
-        hit.astype(jnp.int32), seg_ids, num_segments=nseg, indices_are_sorted=True
-    )
-    return aff > 0
+    ws = lax.cummax(jnp.where(seg_start, idx, 0))
+    last_hit = lax.cummax(jnp.where(hit, idx, -1))
+    before = last_hit >= ws
+    # backward: index of next hit at-or-after each position
+    ridx = m - 1 - idx
+    next_hit_r = lax.cummax(jnp.where(hit, ridx, -1)[::-1])[::-1]
+    next_hit = m - 1 - next_hit_r  # m when none
+    seg_end_flag = jnp.concatenate([seg_start[1:], jnp.ones((1,), bool)])
+    we_r = lax.cummax(jnp.where(seg_end_flag, ridx, 0)[::-1])[::-1]
+    we = m - 1 - we_r
+    after = (next_hit <= we) & (next_hit < m)
+    return before | after
 
 
-def _delta_contributions(t, wid, freq, aff_words, dcap, sign):
+def _delta_contributions(t, wid, fw, aff_pos, dcap, sign):
     """Pair contributions of affected words, compacted to [dcap] with
     ``sign`` applied.  Returns (keys, weights, n, overflow)."""
-    m = t.shape[0]
-    kx, ky, w = pair_keys_and_weights(t, wid, freq)
-    in_aff = aff_words[jnp.clip(wid, 0, aff_words.shape[0] - 1)] & (wid >= 0)
-    mask = in_aff & (w > 0)
-    keys = jnp.where(mask, _pack_key(kx, ky), PADKEY)
-    vals = jnp.where(mask, sign * w, 0)
+    kx, ky, w = pair_keys_and_weights_fw(t, wid, fw)
+    mask = aff_pos & (w > 0)
+    keys = _pack_key(kx, ky)
+    vals = sign * w
     dk, dv, n = _compact_kv(mask, keys, vals, dcap)
     return dk, dv, n, n > dcap
 
@@ -166,56 +174,66 @@ def train_rounds_delta(
 ):
     """Resumable merge rounds with an incrementally maintained count
     table (see module docstring).  Stops early with ``table_overflow``
-    if live pairs ever exceed ``pcap`` (host retries with 2x pcap)."""
+    if live pairs ever exceed ``pcap`` (host retries with 2x pcap).
+
+    The round body is scan/sort-only (no scatters, no segment
+    reductions): per-position word frequencies ``fw`` and the affected
+    flag are carried *through* the apply compaction, so the new-side
+    delta needs no word-level lookup."""
     kb = batch_k
+    fw0 = freq[jnp.maximum(wid, 0)] * (wid >= 0)
 
     def cond(state):
         _, _, _, used, done, overflow = state
         return (~done) & (~overflow) & (used < jnp.minimum(vocab_size, limit))
 
     def body(state):
-        (t, wid), (tk, tc), rules, used, _, _ = state
+        (t, wid, fw), (tk, tc), rules, used, _, _ = state
         xs, ys = _unpack_key(tk)
         cc, cx, cy = _topk_candidates(tc, xs, ys, kb)
         acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, kb)
         done = n_acc == 0
 
-        aff = _affected_words(t, wid, acc, cx, cy)
+        hit, rix = pair_hits(t, wid, acc, cx, cy)
+        aff = _affected_positions(t, wid, hit)
         dk_old, dv_old, n_old, of_old = _delta_contributions(
-            t, wid, freq, aff, dcap, jnp.int32(-1)
+            t, wid, fw, aff, dcap, jnp.int32(-1)
         )
-        t2, w2 = apply_accepted(t, wid, acc, cx, cy, zs)
+        t2, w2, fw2, aff2 = apply_accepted(
+            t, wid, acc, cx, cy, zs,
+            extra=(fw, aff.astype(jnp.int32)), hit=hit, rix=rix,
+        )
         dk_new, dv_new, n_new, of_new = _delta_contributions(
-            t2, w2, freq, aff, dcap, jnp.int32(1)
+            t2, w2, fw2, aff2 != 0, dcap, jnp.int32(1)
         )
 
         def delta_path(args):
-            tk, tc, dk_old, dv_old, dk_new, dv_new, t2, w2 = args
+            tk, tc, dk_old, dv_old, dk_new, dv_new, t2, w2, fw2 = args
             keys = jnp.concatenate([tk, dk_old, dk_new])
             vals = jnp.concatenate([tc, dv_old, dv_new])
             return _reduce_by_key(keys, vals, pcap)
 
         def recount_path(args):
-            _, _, _, _, _, _, t2, w2 = args
-            return _full_recount(t2, w2, freq, pcap)
+            _, _, _, _, _, _, t2, w2, fw2 = args
+            return _full_recount(t2, w2, fw2, pcap)
 
         tk2, tc2, n_live = lax.cond(
             of_old | of_new,
             recount_path,
             delta_path,
-            (tk, tc, dk_old, dv_old, dk_new, dv_new, t2, w2),
+            (tk, tc, dk_old, dv_old, dk_new, dv_new, t2, w2, fw2),
         )
         table_overflow = n_live > pcap
 
         rules = store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size)
         used = used + n_acc
-        return (t2, w2), (tk2, tc2), rules, used, done, table_overflow
+        return (t2, w2, fw2), (tk2, tc2), rules, used, done, table_overflow
 
-    (t2, w2), (tk2, tc2), rules, used, done, overflow = lax.while_loop(
+    (t2, w2, _), (tk2, tc2), rules, used, done, overflow = lax.while_loop(
         cond,
         body,
         (
-            (t.astype(jnp.int32), wid.astype(jnp.int32)),
+            (t.astype(jnp.int32), wid.astype(jnp.int32), fw0.astype(jnp.int32)),
             (tk, tc),
             rules,
             used.astype(jnp.int32),

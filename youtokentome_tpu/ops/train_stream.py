@@ -31,11 +31,32 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .stream_kernel import _compact
 from .train_kernel import _argmax_tiebreak
 
 BIG = jnp.int32(0x7FFFFFFF)
 PAD = -1
+
+
+def sort_compact(keep, arrays, fills):
+    """Order-preserving front-pack of each array's kept entries via ONE
+    multi-operand sort on the keep-position key.
+
+    TPU note: XLA lowers masked scatters to serialized HBM updates
+    (milliseconds per M-sized scatter), while lax.sort is a fast fused
+    bitonic network — sort-based compaction is ~3x faster and is the
+    only compaction primitive used in the training hot loop."""
+    n = keep.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(keep, idx, BIG)
+    out = lax.sort((key,) + tuple(arrays), num_keys=1)[1:]
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    live = idx < n_keep
+    return (
+        tuple(
+            jnp.where(live, a, jnp.asarray(f, a.dtype)) for a, f in zip(out, fills)
+        ),
+        n_keep,
+    )
 
 
 def _segment_counts_flat(kx, ky, wf, pack16: bool = False):
@@ -72,6 +93,12 @@ def _segment_counts_flat(kx, ky, wf, pack16: bool = False):
 def pair_keys_and_weights(t, wid, freq):
     """Adjacent pair keys with the run-parity count mask applied to the
     frequency weights (invalid slots keyed BIG with weight 0)."""
+    return pair_keys_and_weights_fw(t, wid, freq[jnp.maximum(wid, 0)])
+
+
+def pair_keys_and_weights_fw(t, wid, fw):
+    """Variant taking the per-position word frequency ``fw`` directly
+    (carried through compactions so the hot loop never gathers)."""
     m = t.shape[0]
     idx = jnp.arange(m)
     nxt_t = jnp.concatenate([t[1:], jnp.full((1,), PAD, t.dtype)])
@@ -81,7 +108,7 @@ def pair_keys_and_weights(t, wid, freq):
     last_noneq = lax.cummax(jnp.where(eq, -1, idx))
     offset = idx - last_noneq - 1
     counted = valid & (~eq | (offset % 2 == 0))
-    w = jnp.where(counted, freq[jnp.maximum(wid, 0)], 0).astype(jnp.int32)
+    w = jnp.where(counted, fw, 0).astype(jnp.int32)
     kx = jnp.where(valid, t, BIG)
     ky = jnp.where(valid, nxt_t, BIG)
     return kx, ky, w
@@ -89,34 +116,33 @@ def pair_keys_and_weights(t, wid, freq):
 
 def accept_prefix(cc, cx, cy, used, vocab_size, kb):
     """Longest prefix of tie-ordered candidates with no intersection
-    against an earlier accepted candidate (stop, don't skip)."""
+    against an earlier accepted candidate (stop, don't skip).
+
+    Because acceptance is a *prefix*, the accepted set before candidate
+    j is exactly {0..j-1} (when j is still in the prefix), so the
+    sequential scan vectorizes: fail(j) = zero count, intersection with
+    ANY earlier candidate, or id budget exhausted; accept everything
+    before the first failure.  O(k^2) data-parallel ops instead of k
+    sequential steps (which serialize the while-loop round body)."""
     remaining = vocab_size - used
-
-    def acc_step(j, carry):
-        acc, stopped = carry
-        inter = jnp.any(acc & ((cy == cx[j]) | (cx == cy[j])))
-        ok = (
-            (cc[j] > 0)
-            & ~stopped
-            & ~inter
-            & (jnp.sum(acc.astype(jnp.int32)) < remaining)
-        )
-        acc = acc.at[j].set(ok)
-        return acc, stopped | ~ok
-
-    acc, _ = lax.fori_loop(
-        0, kb, acc_step, (jnp.zeros((kb,), bool), jnp.asarray(False))
+    j = jnp.arange(kb)
+    earlier = j[None, :] < j[:, None]  # [j, i]: i earlier than j
+    inter = earlier & (
+        (cy[None, :] == cx[:, None]) | (cx[None, :] == cy[:, None])
     )
+    fail = (cc <= 0) | jnp.any(inter, axis=1) | (j >= remaining)
+    # first failing index (kb if none)
+    first_fail = jnp.min(jnp.where(fail, j, kb))
+    acc = j < first_fail
     n_acc = jnp.sum(acc.astype(jnp.int32))
     zs = used + jnp.cumsum(acc.astype(jnp.int32)) - 1
     return acc, zs, n_acc
 
 
-def apply_accepted(t, wid, acc, cx, cy, zs):
-    """Merge every accepted rule's occurrences in one vectorized pass
-    (accepted rules are non-intersecting, so positions are disjoint)."""
-    m = t.shape[0]
-    idx = jnp.arange(m)
+def pair_hits(t, wid, acc, cx, cy):
+    """Per-position flag: (t[i], t[i+1]) is an occurrence of an accepted
+    candidate (within a word).  Returns (hit, rix) with rix the candidate
+    index of the hit."""
     nxt_t = jnp.concatenate([t[1:], jnp.full((1,), PAD, t.dtype)])
     nxt_w = jnp.concatenate([wid[1:], jnp.full((1,), PAD, wid.dtype)])
     valid = (wid >= 0) & (wid == nxt_w)
@@ -126,15 +152,27 @@ def apply_accepted(t, wid, acc, cx, cy, zs):
         & (t[:, None] == cx[None, :])
         & (nxt_t[:, None] == cy[None, :])
     )
-    hit = jnp.any(hitk, axis=1)
-    rix = jnp.argmax(hitk, axis=1)
+    return jnp.any(hitk, axis=1), jnp.argmax(hitk, axis=1)
+
+
+def apply_accepted(t, wid, acc, cx, cy, zs, extra=(), hit=None, rix=None):
+    """Merge every accepted rule's occurrences in one vectorized pass
+    (accepted rules are non-intersecting, so positions are disjoint).
+    ``extra`` arrays (per-position) are carried through the compaction;
+    precomputed (hit, rix) from pair_hits may be passed to share work."""
+    m = t.shape[0]
+    idx = jnp.arange(m)
+    if hit is None:
+        hit, rix = pair_hits(t, wid, acc, cx, cy)
     ln = lax.cummax(jnp.where(hit, -1, idx))
     sel = hit & ((idx - ln - 1) % 2 == 0)
     new_t = jnp.where(sel, zs[rix], t)
     kill = jnp.concatenate([jnp.zeros((1,), bool), sel[:-1]])
     keep = ~kill & (new_t != PAD)
-    (t2, w2), _ = _compact(keep, (new_t, wid))
-    return t2, w2
+    outs, _ = sort_compact(
+        keep, (new_t, wid) + tuple(extra), (PAD, PAD) + (0,) * len(extra)
+    )
+    return outs
 
 
 def store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size):
