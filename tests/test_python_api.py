@@ -103,3 +103,26 @@ def test_unknown_chars_map_to_unk(trained):
     unk = 1
     ids = bpe.encode(["azb xyz"], yttm.OutputType.ID)[0]
     assert unk in ids  # x/y/z unseen in "abcd " training data
+
+
+def test_id_hole_clean_error(tmp_path):
+    # training stops early (tiny corpus) while a custom special id sits
+    # beyond the materialized range: looking up a hole id must raise a
+    # clean ValueError, and decode of valid ids must still work
+    # (the reference dies on a bare assert here, bpe.cpp:1797)
+    data = tmp_path / "t.txt"
+    data.write_text("ab ab ab\n")
+    model = tmp_path / "m.yttm"
+    bpe = yttm.BPE.train(str(data), str(model), 400, eos_id=399)
+    hole = None
+    for i in range(bpe.vocab_size()):
+        try:
+            bpe.id_to_subword(i)
+        except ValueError:
+            hole = i
+            break
+    assert hole is not None
+    with pytest.raises(ValueError):
+        bpe.id_to_subword(hole)
+    ids = bpe.encode(["ab ab"], yttm.OutputType.ID)[0]
+    assert bpe.decode([ids]) == ["ab ab"]

@@ -62,8 +62,8 @@ class BPE:
     ):
         if not isinstance(output_type, OutputType):
             raise TypeError(
-                "parameter output_type must be youtokentome.OutputType, not %s}"
-                % str(type(output_type))
+                f"output_type must be an OutputType enum value, "
+                f"got {type(output_type)}"
             )
         ot = "id" if output_type == OutputType.ID else "subword"
         # single-string convenience: flat result (yttm.pyx:95-100, 109-115)

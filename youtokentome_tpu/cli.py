@@ -28,7 +28,7 @@ def main():
 @click.option("--vocab_size", type=click.INT, required=True,
               help="Number of tokens in the final vocabulary.")
 @click.option("--coverage", type=click.FLOAT, default=1.0, show_default=True,
-              help="Percentage of characters covered by the model.")
+              help="Fraction of characters the alphabet must cover (rare chars drop out).")
 @click.option("--n_threads", type=click.INT, default=-1, show_default=True,
               help="Number of threads.")
 @click.option("--pad_id", type=click.INT, default=0, show_default=True,
@@ -58,16 +58,16 @@ def bpe(data, model, vocab_size, coverage, n_threads, pad_id, unk_id, bos_id, eo
 
 @click.command()
 @click.option("--model", type=click.Path(exists=True), required=True,
-              help="Path to file with learned model.")
+              help="Trained model file.")
 @click.option("--output_type", type=click.Choice(["id", "subword"]), required=True,
               help="'id' or 'subword'.")
 @click.option("--n_threads", type=click.INT, default=-1, show_default=True,
               help="Number of threads.")
-@click.option("--bos", is_flag=True, help="Add tab begin of sentence.")
-@click.option("--eos", is_flag=True, help="Add tab end of sentence.")
-@click.option("--reverse", is_flag=True, help="Reverse output sequence of tokens.")
+@click.option("--bos", is_flag=True, help="Prepend the begin-of-sentence token to every line.")
+@click.option("--eos", is_flag=True, help="Append the end-of-sentence token to every line.")
+@click.option("--reverse", is_flag=True, help="Emit each line's tokens in reverse order.")
 @click.option("--stream", is_flag=True,
-              help="Process each line before reading the next one.")
+              help="Line-buffered mode: encode and flush each line as it arrives.")
 @click.option("--dropout_prob", type=click.FLOAT, default=0, show_default=True,
               help="BPE-dropout probability (the probability of a merge being dropped)")
 def encode(model, output_type, n_threads, bos, eos, reverse, stream, dropout_prob):
@@ -165,9 +165,9 @@ def encode(model, output_type, n_threads, bos, eos, reverse, stream, dropout_pro
 
 @click.command()
 @click.option("--model", type=click.Path(exists=True), required=True,
-              help="Path to file with learned model.")
+              help="Trained model file.")
 @click.option("--ignore_ids", type=click.STRING, required=False,
-              help="List of indices to ignore for decoding. Example: --ignore_ids=1,2,3")
+              help="Comma-separated ids to skip when decoding, e.g. --ignore_ids=1,2,3")
 def decode(model, ignore_ids):
     """Decode ids to text."""
     ids = None
@@ -194,8 +194,8 @@ def decode(model, ignore_ids):
 
 @click.command()
 @click.option("--model", type=click.Path(exists=True), required=True,
-              help="Path to file with learned model.")
-@click.option("--verbose", is_flag=True, help="Add merging rules.")
+              help="Trained model file.")
+@click.option("--verbose", is_flag=True, help="Also print each token's merge rule.")
 def vocab(model, verbose):
     """Print list of learned subwords."""
     from .models.state import BPEState

@@ -232,6 +232,10 @@ class WordCache:
             out.ctypes.data_as(ctypes.c_void_p),
         )
         if out[3] != 0:
+            # the C side may have inserted words into the persistent map
+            # before hitting capacity; without a reset those uids would
+            # later read result vectors that were never registered
+            self._lib.yttm_ctx_reset(self._ctx)
             raise RuntimeError("fasttok ctx capacity exceeded")
         n_flat, n_new, n_occ, _, base = (int(x) for x in out[:5])
         return (

@@ -64,7 +64,15 @@ class Vocabulary:
             return BOS_TOKEN
         if idx == st.eos_id:
             return EOS_TOKEN
-        piece = self.piece[idx]
+        piece = self.piece.get(idx)
+        if piece is None:
+            # id holes happen when training stopped early but custom
+            # special ids sit beyond the materialized range (the
+            # reference hits a bare assert here, bpe.cpp:1797)
+            raise ValueError(
+                f"id {idx} is not materialized in this model: training "
+                f"stopped early and left a hole below a custom special id"
+            )
         if replace_space and piece and ord(piece[0]) == SPACE_TOKEN:
             return " " + piece[1:]
         return piece
@@ -93,9 +101,14 @@ class Vocabulary:
         bpe.cpp:1798-1804): (bytes flat uint8, offsets int64)."""
         if not hasattr(self, "_pt_flat"):
             n = self.vocab_size()
-            blobs = [
-                self.id_to_subword(i, replace_space=True).encode() for i in range(n)
-            ]
+
+            def render(i: int) -> bytes:
+                try:
+                    return self.id_to_subword(i, replace_space=True).encode()
+                except ValueError:
+                    return b""  # id hole (early stop below a custom special)
+
+            blobs = [render(i) for i in range(n)]
             lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
             off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lens, out=off[1:])

@@ -280,6 +280,9 @@ def _fit_table(tk, tc, pcap: int):
     kh = np.asarray(tk)
     ch = np.asarray(tc)
     if kh.shape[0] >= pcap:
+        assert np.all(kh[pcap:] == 0xFFFFFFFF), (
+            "count table does not fit pcap; live pairs would be dropped"
+        )
         return jnp.asarray(kh[:pcap]), jnp.asarray(ch[:pcap])
     ko = np.full(pcap, 0xFFFFFFFF, np.uint32)
     co = np.zeros(pcap, np.int32)
@@ -362,6 +365,11 @@ def run_training_delta(
             uk, uc = host_count_table(
                 np.asarray(td), np.asarray(wd), np.asarray(fd)
             )
+            # the rebuilt table must fit in full: _fit_table slices to
+            # pcap, which would silently drop live pairs if a round's
+            # reduce kept more than the doubled capacity
+            while pcap < uk.size:
+                pcap *= 2
             tk, tc = _fit_table(uk, uc, pcap)
             continue
         if progress_every:

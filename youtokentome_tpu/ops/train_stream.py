@@ -278,6 +278,19 @@ def flatten_word_buckets(buckets) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     ws = []
     fs = []
     wbase = 0
+    # device count reductions accumulate in int32 (no x64 on TPU):
+    # the total weighted pair mass must stay below 2^31.  2 GiB-class
+    # corpora fit; beyond that the host must shard the corpus first.
+    mass = sum(
+        int((cnt.astype(np.int64) * np.maximum((mat >= 0).sum(1) - 1, 0)).sum())
+        for mat, cnt in buckets
+    )
+    if mass >= 2**31:
+        raise ValueError(
+            f"corpus too large for a single device pass: weighted pair "
+            f"mass {mass} exceeds int32 range; shard the corpus across "
+            f"hosts/devices"
+        )
     for mat, cnt in buckets:
         valid = mat >= 0
         ts.append(mat[valid].astype(np.int32))
