@@ -1,0 +1,120 @@
+"""Site-local tombstone trainer (ops/train_sparse) vs the full-recount
+trainer (ops/train_stream) and the oracle: identical rules always.
+
+v3 never compacts the stream (merged slots become tombstones) and
+extracts delta sites with binary search instead of sorts; any error in
+the live-subsequence rank bookkeeping shows up as a diverging candidate
+order, so differential equality over run-heavy random corpora is the
+strongest cheap check (the reference's own strategy,
+stress_test.cpp:420-434)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from youtokentome_tpu.models.state import BpeConfig, SpecialTokens
+from youtokentome_tpu.oracle import train_from_codepoints as oracle_train
+from youtokentome_tpu.train import train_from_codepoints as device_train
+
+
+def _cps(text):
+    return np.array([ord(c) for c in text], dtype=np.uint32)
+
+
+def _run_impl(impl, cps, vocab, cfg, env=()):
+    old = {k: os.environ.get(k) for k, _ in (("YTTM_TRAIN_IMPL", 0),) + tuple(env)}
+    os.environ["YTTM_TRAIN_IMPL"] = impl
+    for k, v in env:
+        os.environ[k] = v
+    try:
+        return device_train(cps, vocab, cfg)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sparse_equals_stream_random(seed):
+    rng = random.Random(seed)
+    # run-heavy text over a tiny alphabet: exercises floor(run/2)
+    # counting, x==y merges across tombstones, and tier boundaries
+    out = []
+    while len(out) < 1200:
+        if rng.randrange(2):
+            out.append(rng.choice("abc "))
+        else:
+            out.extend([rng.choice("abc ")] * rng.randint(2, 6))
+    text = "".join(out)
+    vocab = 10 + rng.randrange(40)
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    a = _run_impl("stream", _cps(text), vocab, cfg)
+    b = _run_impl("sparse", _cps(text), vocab, cfg)
+    assert a.rules == b.rules
+    assert a.char2id == b.char2id
+
+
+def test_sparse_matches_oracle_zipf():
+    rng = np.random.default_rng(7)
+    letters = "abcdefgh"
+    words = [
+        "".join(rng.choice(list(letters), size=l))
+        for l in np.clip(rng.poisson(5, 300), 2, 10)
+    ]
+    probs = 1.0 / np.arange(1, 301)
+    probs /= probs.sum()
+    text = " ".join(np.array(words, object)[rng.choice(300, 3000, p=probs)])
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    a = oracle_train(_cps(text), 120, cfg)
+    b = _run_impl("sparse", _cps(text), 120, cfg)
+    assert a.rules == b.rules
+    assert a.char2id == b.char2id
+
+
+def test_sparse_tiny_tiers_force_recount():
+    """Tiny tier caps force every round through the large tier and the
+    tombstone-aware full-recount fallback (semantics must not change)."""
+    text = "abab abba baab aabb abab abba " * 20
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    ref = _run_impl("stream", _cps(text), 20, cfg)
+    got = _run_impl(
+        "sparse", _cps(text), 20, cfg,
+        env=(("YTTM_TRAIN_DCAP0", "16"), ("YTTM_TRAIN_DCAP1", "32")),
+    )
+    assert got.rules == ref.rules
+
+
+def test_sparse_checkpoint_resume(tmp_path):
+    """Kill-and-resume must reproduce the uninterrupted rules exactly
+    (snapshots are host-compacted, so the resumed shape differs but the
+    live subsequence is identical)."""
+    from youtokentome_tpu.host import preprocess
+    from youtokentome_tpu.models.state import check_config
+    from youtokentome_tpu.ops import train_sparse
+
+    text = "abab abba baab aabb caba bcab " * 30
+    cps = _cps(text)
+    check_config(BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3)), 24)
+    uniq, cnt, data_len = preprocess.char_frequencies(cps)
+    alphabet = preprocess.build_alphabet(uniq, cnt, data_len, 1.0, 4)
+    used0 = len(alphabet.char2id) + 4
+    buckets = preprocess.training_word_buckets(cps, alphabet)
+
+    ref = train_sparse.run_training_sparse(buckets, used0, 24)
+
+    ckpt = str(tmp_path / "snap.npz")
+    # run only a few ids, checkpointing every 3; emulate a kill by
+    # ignoring the result and resuming from the snapshot
+    train_sparse.run_training_sparse(
+        buckets, used0, used0 + 6, checkpoint_path=ckpt, checkpoint_every=3
+    )
+    got = train_sparse.run_training_sparse(
+        buckets, used0, 24, resume_path=ckpt
+    )
+    # the snapshot carries the rules learned so far, so the resumed run
+    # returns the complete list — it must equal the uninterrupted one
+    assert got == ref

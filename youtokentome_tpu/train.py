@@ -20,6 +20,7 @@ import numpy as np
 from .host import preprocess
 from .models.state import BPEState, BpeConfig, check_config
 from .ops.train_delta import run_training_delta
+from .ops.train_sparse import run_training_sparse
 from .ops.train_stream import run_training_stream
 from .ops.utf8 import decode_utf8_bytes
 from .oracle import rename_tokens
@@ -58,11 +59,15 @@ def train_from_codepoints(
         )
 
     buckets = preprocess.training_word_buckets(cps, alphabet)
-    # impl selection: "delta" = incremental-count trainer (v2, default;
-    # its packed uint32 pair keys need vocab < 65536); "stream" = full
-    # recount per round (v1, any vocab size)
-    impl = os.environ.get("YTTM_TRAIN_IMPL", "delta")
-    if impl == "delta" and vocab_size < 65536:
+    # impl selection: "sparse" = site-local tombstone trainer (v3,
+    # default; no full-stream sorts per round), "delta" = incremental
+    # count table with sort-compacted apply (v2), "stream" = full
+    # recount per round (v1, any vocab size).  The packed uint32 pair
+    # keys of v2/v3 need vocab < 65536.
+    impl = os.environ.get("YTTM_TRAIN_IMPL", "sparse")
+    if impl == "sparse" and vocab_size < 65536:
+        run = run_training_sparse
+    elif impl == "delta" and vocab_size < 65536:
         run = run_training_delta
     else:
         run = run_training_stream
