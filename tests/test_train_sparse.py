@@ -88,33 +88,80 @@ def test_sparse_tiny_tiers_force_recount():
     assert got.rules == ref.rules
 
 
-def test_sparse_checkpoint_resume(tmp_path):
-    """Kill-and-resume must reproduce the uninterrupted rules exactly
-    (snapshots are host-compacted, so the resumed shape differs but the
-    live subsequence is identical)."""
+def _checkpoint_fixture():
+    """(buckets, used0, reference rules at vocab 24) for resume tests."""
     from youtokentome_tpu.host import preprocess
-    from youtokentome_tpu.models.state import check_config
     from youtokentome_tpu.ops import train_sparse
 
     text = "abab abba baab aabb caba bcab " * 30
     cps = _cps(text)
-    check_config(BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3)), 24)
     uniq, cnt, data_len = preprocess.char_frequencies(cps)
     alphabet = preprocess.build_alphabet(uniq, cnt, data_len, 1.0, 4)
     used0 = len(alphabet.char2id) + 4
     buckets = preprocess.training_word_buckets(cps, alphabet)
-
     ref = train_sparse.run_training_sparse(buckets, used0, 24)
+    return buckets, used0, ref
+
+
+RUNNERS = {}
+
+
+def _runner(impl):
+    if not RUNNERS:
+        from youtokentome_tpu.ops import train_delta, train_sparse, train_stream
+
+        RUNNERS.update(
+            sparse=train_sparse.run_training_sparse,
+            delta=train_delta.run_training_delta,
+            stream=train_stream.run_training_stream,
+        )
+    return RUNNERS[impl]
+
+
+@pytest.mark.parametrize("impl", ["sparse", "delta", "stream"])
+def test_checkpoint_resume(impl, tmp_path):
+    """Kill-and-resume must reproduce the uninterrupted rules exactly.
+
+    The kill is emulated by running with a *smaller* vocab target and
+    resuming toward the full one — snapshots are vocab-size-portable
+    (they store only the filled rule rows) and host-compacted."""
+    buckets, used0, ref = _checkpoint_fixture()
+    run = _runner(impl)
 
     ckpt = str(tmp_path / "snap.npz")
-    # run only a few ids, checkpointing every 3; emulate a kill by
-    # ignoring the result and resuming from the snapshot
-    train_sparse.run_training_sparse(
-        buckets, used0, used0 + 6, checkpoint_path=ckpt, checkpoint_every=3
-    )
-    got = train_sparse.run_training_sparse(
-        buckets, used0, 24, resume_path=ckpt
-    )
+    run(buckets, used0, used0 + 6, checkpoint_path=ckpt, checkpoint_every=3)
+    got = run(buckets, used0, 24, resume_path=ckpt)
     # the snapshot carries the rules learned so far, so the resumed run
     # returns the complete list — it must equal the uninterrupted one
     assert got == ref
+
+
+@pytest.mark.parametrize(
+    "save_impl,resume_impl",
+    [("sparse", "stream"), ("sparse", "delta"), ("stream", "sparse")],
+)
+def test_checkpoint_cross_driver_resume(save_impl, resume_impl, tmp_path):
+    """Snapshots are cross-compatible: a v3 tombstone snapshot is
+    compacted at save time, so any driver resumes it bit-exactly."""
+    buckets, used0, ref = _checkpoint_fixture()
+
+    ckpt = str(tmp_path / "snap.npz")
+    _runner(save_impl)(
+        buckets, used0, used0 + 6, checkpoint_path=ckpt, checkpoint_every=3
+    )
+    got = _runner(resume_impl)(buckets, used0, 24, resume_path=ckpt)
+    assert got == ref
+
+
+def test_checkpoint_resume_rejects_mismatched_base(tmp_path):
+    from youtokentome_tpu.ops import train_sparse
+
+    buckets, used0, _ = _checkpoint_fixture()
+    ckpt = str(tmp_path / "snap.npz")
+    train_sparse.run_training_sparse(
+        buckets, used0, used0 + 6, checkpoint_path=ckpt, checkpoint_every=3
+    )
+    with pytest.raises(ValueError, match="base ids"):
+        train_sparse.run_training_sparse(
+            buckets, used0 + 1, 24, resume_path=ckpt
+        )

@@ -54,8 +54,10 @@ from .train_stream import (
     accept_prefix,
     apply_accepted,
     flatten_word_buckets,
+    load_snapshot,
     pair_hits,
     pair_keys_and_weights_fw,
+    save_snapshot,
     sort_compact,
     store_rules,
 )
@@ -316,13 +318,9 @@ def run_training_delta(
         print(f"WARNING merged only: {used_ids0} pairs of tokens", file=sys.stderr)
         return []
     if resume_path:
-        snap = np.load(resume_path)
-        t, wid, freq = snap["t"], snap["wid"], snap["freq"]
-        rules_h = snap["rules"]
-        used = int(snap["used"])
-        assert int(snap["used_ids0"]) == used_ids0
-        assert rules_h.shape[0] == vocab_size
-        rules = jnp.asarray(rules_h)
+        t, wid, freq, rules, used = load_snapshot(
+            resume_path, used_ids0, vocab_size
+        )
     else:
         t, wid, freq = flatten_word_buckets(buckets)
         rules = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
@@ -381,15 +379,7 @@ def run_training_delta(
                 file=sys.stderr,
             )
         if checkpoint_path and checkpoint_every and used < vocab_size:
-            np.savez(
-                checkpoint_path,
-                t=np.asarray(td),
-                wid=np.asarray(wd),
-                freq=np.asarray(fd),
-                rules=np.asarray(rules),
-                used=used,
-                used_ids0=used_ids0,
-            )
+            save_snapshot(checkpoint_path, td, wd, fd, rules, used, used_ids0)
         if bool(done):
             break
 

@@ -32,9 +32,8 @@ v3 removes every per-round full-stream sort:
     input is O(pcap + dcap), never O(M).
 
 Per-round cost: O(M) scan bandwidth (hit detection + apply masks) plus
-O(pcap + dcap) sort work — the scans are ~10 fused passes over int32,
-so rounds are sub-millisecond at 100 MB scale instead of the v2
-multi-sort tens of milliseconds.  Semantics are identical to v1/v2
+O(pcap + dcap) sort work — no O(M log M) term, unlike v1/v2 (measured
+round times live in PROFILE.md).  Semantics are identical to v1/v2
 (same candidate order, same k-deep prefix acceptance, same parity
 selection) — the live-subsequence formulation is the compacted stream
 of v2 under the rank bijection, which the differential tests certify.
@@ -68,11 +67,15 @@ from .train_stream import (
     _topk_candidates,
     accept_prefix,
     flatten_word_buckets,
+    load_snapshot,
+    save_snapshot,
     store_rules,
 )
 
-# sentinel that can never equal a real packed pair key while vocab <
-# 65535 (x=0xFFFF) nor the PADKEY used for invalid positions
+# sentinel that can never equal a real packed pair key: the dispatch
+# gate (train.py) requires vocab_size < 65536, so the max token id is
+# 65534 and a real key's x-field never reaches 0xFFFF — keys with
+# x=0xFFFF (NOKEY here, PADKEY for invalid positions) are unreachable
 NOKEY = jnp.uint32(0xFFFFFFFE)
 
 
@@ -273,22 +276,9 @@ def run_training_sparse(
         print(f"WARNING merged only: {used_ids0} pairs of tokens", file=sys.stderr)
         return []
     if resume_path:
-        snap = np.load(resume_path)
-        t, wid, freq = snap["t"], snap["wid"], snap["freq"]
-        # compact any tombstones so M (and the compiled shape) shrinks
-        live = t >= 0
-        t, wid = t[live], wid[live]
-        m = max(16, 1 << int(np.ceil(np.log2(max(t.size, 1)))))
-        tp = np.full(m, PAD, np.int32)
-        wp = np.full(m, PAD, np.int32)
-        tp[: t.size] = t
-        wp[: wid.size] = wid
-        t, wid = tp, wp
-        rules_h = snap["rules"]
-        used = int(snap["used"])
-        assert int(snap["used_ids0"]) == used_ids0
-        assert rules_h.shape[0] == vocab_size
-        rules = jnp.asarray(rules_h)
+        t, wid, freq, rules, used = load_snapshot(
+            resume_path, used_ids0, vocab_size
+        )
     else:
         t, wid, freq = flatten_word_buckets(buckets)
         rules = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
@@ -340,15 +330,7 @@ def run_training_sparse(
                 file=sys.stderr,
             )
         if checkpoint_path and checkpoint_every and used < vocab_size:
-            np.savez(
-                checkpoint_path,
-                t=np.asarray(td),
-                wid=np.asarray(wd),
-                freq=np.asarray(fd),
-                rules=np.asarray(rules),
-                used=used,
-                used_ids0=used_ids0,
-            )
+            save_snapshot(checkpoint_path, td, wd, fd, rules, used, used_ids0)
         if bool(done):
             break
 

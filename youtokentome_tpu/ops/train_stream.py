@@ -312,6 +312,55 @@ def flatten_word_buckets(buckets) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return tp, wp, freq
 
 
+def save_snapshot(path, t, wid, freq, rules, used: int, used_ids0: int):
+    """Portable mid-training snapshot, shared by all trainer drivers.
+
+    The stream is host-compacted (v3 tombstone streams carry interior
+    PAD slots that the v1/v2 pair kernels would misread as real token
+    -1), and only the *filled* rule rows are stored, so a snapshot can
+    be resumed under any driver and any target ``vocab_size`` >= used.
+    """
+    t = np.asarray(t)
+    wid = np.asarray(wid)
+    live = t >= 0
+    np.savez(
+        path,
+        t=t[live],
+        wid=wid[live],
+        freq=np.asarray(freq),
+        rules=np.asarray(rules)[: used - used_ids0],
+        used=used,
+        used_ids0=used_ids0,
+        version=1,
+    )
+
+
+def load_snapshot(path, used_ids0: int, vocab_size: int):
+    """Load a save_snapshot file: re-pad the stream to a power of two
+    and the rules to the resuming run's [vocab_size, 3]."""
+    snap = np.load(path)
+    if int(snap["used_ids0"]) != used_ids0:
+        raise ValueError(
+            f"snapshot was trained with {int(snap['used_ids0'])} base ids, "
+            f"this corpus/config produces {used_ids0}"
+        )
+    used = int(snap["used"])
+    if used > vocab_size:
+        raise ValueError(
+            f"snapshot already contains {used} ids > vocab_size={vocab_size}"
+        )
+    t, wid, freq = snap["t"], snap["wid"], snap["freq"]
+    m = max(16, 1 << int(np.ceil(np.log2(max(t.size, 1)))))
+    tp = np.full(m, PAD, np.int32)
+    wp = np.full(m, PAD, np.int32)
+    tp[: t.size] = t
+    wp[: wid.size] = wid
+    rules_h = np.full((vocab_size, 3), -1, np.int32)
+    stored = np.asarray(snap["rules"], np.int32)
+    rules_h[: stored.shape[0]] = stored[: used - used_ids0]
+    return tp, wp, freq, jnp.asarray(rules_h), used
+
+
 def run_training_stream(
     buckets,
     used_ids0: int,
@@ -339,13 +388,9 @@ def run_training_stream(
         print(f"WARNING merged only: {used_ids0} pairs of tokens", file=sys.stderr)
         return []
     if resume_path:
-        snap = np.load(resume_path)
-        t, wid, freq = snap["t"], snap["wid"], snap["freq"]
-        rules_h = snap["rules"]
-        used = int(snap["used"])
-        assert int(snap["used_ids0"]) == used_ids0
-        assert rules_h.shape[0] == vocab_size
-        rules = jnp.asarray(rules_h)
+        t, wid, freq, rules, used = load_snapshot(
+            resume_path, used_ids0, vocab_size
+        )
     else:
         t, wid, freq = flatten_word_buckets(buckets)
         rules = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
@@ -375,15 +420,7 @@ def run_training_stream(
                 file=sys.stderr,
             )
         if checkpoint_path and checkpoint_every and used < vocab_size:
-            np.savez(
-                checkpoint_path,
-                t=np.asarray(td),
-                wid=np.asarray(wd),
-                freq=np.asarray(fd),
-                rules=np.asarray(rules),
-                used=used,
-                used_ids0=used_ids0,
-            )
+            save_snapshot(checkpoint_path, td, wd, fd, rules, used, used_ids0)
         if bool(done):
             break
 
