@@ -1,0 +1,113 @@
+"""Every id-mode encode backend must agree with the oracle bit-exactly.
+
+The Encoder routes ids through one of three backends (encoder.py:
+_encode_backend): "native" (C++ tokenizer + device merge), "stream"
+(fully device-resident flat pipeline, ops/stream_kernel.py), and
+"matrix" (generic array pipeline).  The reference certifies its
+parallel paths by equality against a slow oracle (stress_test.cpp:
+420-434); this file does the same per backend, plus the pure-Python
+fallbacks used when the native helpers are unavailable.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from youtokentome_tpu.encoder import Encoder
+from youtokentome_tpu.host import fastio, fasttok
+from youtokentome_tpu.models.state import BpeConfig, SpecialTokens
+from youtokentome_tpu.oracle import OracleEncoder, train_from_codepoints
+
+BACKENDS = ["native", "stream", "matrix"]
+
+
+@pytest.fixture(scope="module")
+def model():
+    rng = random.Random(5)
+    text = "".join(
+        rng.choice("aabbcd  ")
+        if rng.randrange(3)
+        else rng.choice("abcd") * rng.randint(2, 6)
+        for _ in range(500)
+    )
+    cps = np.array([ord(c) for c in text], dtype=np.uint32)
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    return train_from_codepoints(cps, len(set(text)) + 4 + 40, cfg)
+
+
+def _sentences(seed, n=30):
+    rng = random.Random(seed)
+    out = [
+        "".join(rng.choice("abcd XYZ") for _ in range(rng.randint(0, 50)))
+        for _ in range(n)
+    ]
+    # edge rows: empties, single chars, unknown-only, long runs
+    out += ["", " ", "a", "XYZ", "Q", "a" * 40, "dd d  ddd", "aXbXc QQc"]
+    return out
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("seed", [0, 1])
+def test_backend_matches_oracle(model, backend, seed, monkeypatch):
+    monkeypatch.setenv("YTTM_ENCODE_BACKEND", backend)
+    enc = Encoder(model)
+    oracle = OracleEncoder(model)
+    s = _sentences(seed)
+    assert enc.encode(s, "id") == oracle.encode(s, "id")
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_backend_flags(model, backend, monkeypatch):
+    monkeypatch.setenv("YTTM_ENCODE_BACKEND", backend)
+    enc = Encoder(model)
+    oracle = OracleEncoder(model)
+    s = _sentences(3, n=6)
+    for bos, eos, rev in [(1, 0, 0), (0, 1, 0), (1, 1, 1)]:
+        assert enc.encode(s, "id", bool(bos), bool(eos), bool(rev)) == oracle.encode(
+            s, "id", bool(bos), bool(eos), bool(rev)
+        )
+
+
+def test_native_unavailable_falls_back(model, monkeypatch):
+    """With the C++ tokenizer gone, the native backend must silently use
+    the stream pipeline and stay bit-exact."""
+    monkeypatch.setenv("YTTM_ENCODE_BACKEND", "native")
+    monkeypatch.setattr(fasttok, "available", lambda: False)
+    enc = Encoder(model)
+    oracle = OracleEncoder(model)
+    s = _sentences(11)
+    assert enc.encode(s, "id") == oracle.encode(s, "id")
+
+
+def test_fastio_python_fallback():
+    """format_ids / parse_ids must roundtrip identically with and
+    without the native _fastio.so."""
+    flat = np.array([5, 7, 9, -7777, 12, -7777], np.int32)
+    native = fastio.format_ids(flat, -7777)
+    assert native == b"5 7 9 \n12 \n"
+    # force the pure-Python branch
+    import youtokentome_tpu.host.fastio as fio
+
+    old_lib, old_tried = fio._lib, fio._tried
+    fio._lib, fio._tried = None, True
+    try:
+        assert fio.format_ids(flat, -7777) == native
+        assert np.array_equal(
+            fio.parse_ids(b"5 7 9 \n12 \n", -7777),
+            fastio.parse_ids(b"5 7 9 \n12 \n", -7777),
+        )
+    finally:
+        fio._lib, fio._tried = old_lib, old_tried
+
+
+def test_backend_newline_embedded_sentences(model, monkeypatch):
+    """A sentence containing '\\n' must not take the joined fast path
+    (it would split wrongly); all backends agree with the oracle."""
+    oracle = OracleEncoder(model)
+    s = ["ab\ncd", "a b"]
+    want = oracle.encode(["ab\ncd".replace("\n", "\n"), "a b"], "id")
+    for backend in BACKENDS:
+        monkeypatch.setenv("YTTM_ENCODE_BACKEND", backend)
+        enc = Encoder(model)
+        assert enc.encode(s, "id") == want

@@ -35,8 +35,10 @@ from .ops.stream_kernel import NEWLINE, StreamEncoder
 
 # id-mode fast-path backend: "native" = C++ tokenizer + device merge of
 # unique words; "stream" = fully device-resident flat pipeline;
-# "matrix" = numpy host pipeline (always used for subwords/dropout)
-ENCODE_BACKEND = os.environ.get("YTTM_ENCODE_BACKEND", "native")
+# "matrix" = numpy host pipeline (always used for subwords/dropout).
+# Read per call so tests can parameterize over backends.
+def _encode_backend() -> str:
+    return os.environ.get("YTTM_ENCODE_BACKEND", "native")
 
 ENCODE_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 MAX_DEVICE_LEN = ENCODE_BUCKETS[-1]
@@ -267,11 +269,12 @@ class Encoder:
             # sentence to embed a newline (it would break the marking)
             joined = "\n".join(sentences) + "\n"
             if joined.count("\n") == n_sent:
-                if ENCODE_BACKEND == "native" and fasttok.available():
+                backend = _encode_backend()
+                if backend == "native" and fasttok.available():
                     return self._encode_ids_native(
                         joined.encode("utf-8"), n_sent, bos, eos, reverse
                     )
-                if ENCODE_BACKEND in ("native", "stream"):
+                if backend in ("native", "stream"):
                     return self._encode_ids_stream(joined, n_sent, bos, eos, reverse)
 
         arrs = [
