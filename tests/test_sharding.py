@@ -73,3 +73,47 @@ def test_encode_device_count_invariance(corpus):
     for n in (1, 2, 8):
         out = encode_batch_sharded(enc.tables, tokens, data_mesh(n))
         np.testing.assert_array_equal(out, base)
+
+
+def test_sparse_train_device_count_invariance(corpus):
+    """The PRODUCTION trainer (v3 sparse, the default impl) must be
+    bit-identical at 1/2/8 devices — this is the path dryrun_multichip
+    certifies."""
+    from youtokentome_tpu.ops.train_sparse import run_training_sparse
+    from youtokentome_tpu.parallel.train_sparse_sharded import (
+        run_training_sparse_sharded,
+    )
+
+    _, _, buckets, used0 = corpus
+    single = run_training_sparse(buckets, used0, 30)
+    for n in (1, 2, 8):
+        sharded = run_training_sparse_sharded(buckets, used0, 30, data_mesh(n))
+        assert sharded == single, f"mismatch at n_devices={n}"
+
+
+def test_sparse_sharded_tiny_dcap_forces_recount(corpus):
+    """A tiny dcap drives every round through the global-recount fold;
+    results must not change (delta and recount paths are equivalent)."""
+    import os
+
+    from youtokentome_tpu.ops.train_sparse import run_training_sparse
+    from youtokentome_tpu.parallel.train_sparse_sharded import (
+        run_training_sparse_sharded,
+    )
+
+    _, _, buckets, used0 = corpus
+    single = run_training_sparse(buckets, used0, 26)
+    # dcap is floored at pcap/2 (recount-fold correctness), so forcing
+    # recounts needs a small pcap too; overflow retries re-grow it
+    old = {k: os.environ.get(k) for k in ("YTTM_TRAIN_DCAP", "YTTM_TRAIN_PCAP")}
+    os.environ["YTTM_TRAIN_DCAP"] = "128"
+    os.environ["YTTM_TRAIN_PCAP"] = "256"
+    try:
+        sharded = run_training_sparse_sharded(buckets, used0, 26, data_mesh(2))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert sharded == single

@@ -7,6 +7,21 @@ id management, a byte-compatible ``.yttm`` model format, a drop-in
 Python API, and a CLI.
 """
 
+import os as _os
+
+# Honor JAX_PLATFORMS explicitly: TPU PJRT plugins can take platform
+# priority at registration time, in which case the env var alone does
+# not win.  Users (and the test/CI environment) expect
+# JAX_PLATFORMS=cpu to actually select CPU.
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 from .api import BPE, OutputType
 
 __all__ = ["BPE", "OutputType"]

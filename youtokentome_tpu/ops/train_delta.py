@@ -277,6 +277,23 @@ def _next_pow2(x: int) -> int:
     return 1 << max(4, int(np.ceil(np.log2(max(int(x), 1)))))
 
 
+def _pcap_budget(n_live0: int, merges: int) -> int:
+    """Size the pair-count table ONCE so the overflow->recompile
+    fallback is never taken in practice (each retry recompiles the
+    training program, ~1-2 min on remote-compile toolchains).
+
+    Existing pair kinds only shrink (a merge (x,y)->z removes (l,x),
+    (x,y), (y,r) occurrences); growth comes from the new kinds (l,z)
+    and (z,r).  Measured on Zipf text (PROFILE.md): ~47 new kinds per
+    merge for the first ~1k merges, decaying under 10 afterwards
+    (2 MB / vocab 5000: max 46.3k live kinds).  Budget 48/merge early
+    and 16/merge late — >2x the measured max before the pow2 rounding.
+    """
+    early = 48 * min(max(merges, 0), 1000)
+    late = 16 * max(merges - 1000, 0)
+    return _next_pow2(max(2 * n_live0, n_live0 + early + late, 1 << 14))
+
+
 def _fit_table(tk, tc, pcap: int):
     """Pad or slice the table to exactly [pcap] (host-side, one-time)."""
     kh = np.asarray(tk)
@@ -339,13 +356,9 @@ def run_training_delta(
     ) or _next_pow2(max(1 << 14, m >> 4))
     uk, uc = host_count_table(t, wid, freq)
     n_live = uk.size
-    # live pairs grow with vocab (each merge creates (l,z)/(z,r) kinds):
-    # leave room for ~8 new kinds per merge so overflow recompiles are rare
     pcap = int(
         os.environ.get("YTTM_TRAIN_PCAP", "0")
-    ) or _next_pow2(
-        max(2 * n_live, n_live + 8 * max(vocab_size - used_ids0, 0), 1 << 14)
-    )
+    ) or _pcap_budget(n_live, vocab_size - used_ids0)
     tk, tc = _fit_table(uk, uc, pcap)
 
     seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)

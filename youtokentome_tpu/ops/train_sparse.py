@@ -57,6 +57,7 @@ from .train_delta import (
     _affected_positions,
     _fit_table,
     _next_pow2,
+    _pcap_budget,
     _reduce_by_key,
     _unpack_key,
     host_count_table,
@@ -298,8 +299,8 @@ def run_training_sparse(
     )
     uk, uc = host_count_table(t, wid, freq)
     n_live = uk.size
-    pcap = int(os.environ.get("YTTM_TRAIN_PCAP", "0")) or _next_pow2(
-        max(2 * n_live, n_live + 8 * max(vocab_size - used_ids0, 0), 1 << 14)
+    pcap = int(os.environ.get("YTTM_TRAIN_PCAP", "0")) or _pcap_budget(
+        n_live, vocab_size - used_ids0
     )
     tk, tc = _fit_table(uk, uc, pcap)
 
