@@ -91,6 +91,67 @@ def test_sparse_train_device_count_invariance(corpus):
         assert sharded == single, f"mismatch at n_devices={n}"
 
 
+def test_production_train_dispatch_sharded(corpus, monkeypatch):
+    """BPE.train's pipeline (train_from_codepoints) must route through
+    the sharded trainer on a multi-device host and produce rules
+    bit-identical to the single-device path (the reference parallelizes
+    by default, bpe.cpp:864-873)."""
+    from youtokentome_tpu.models.state import BpeConfig, SpecialTokens
+    from youtokentome_tpu.train import train_from_codepoints
+
+    cps, _, _, _ = corpus
+    cfg = BpeConfig(1.0, -1, SpecialTokens(0, 1, 2, 3))
+    # force the dispatch threshold below the tiny corpus size
+    monkeypatch.setenv("YTTM_SHARD_MIN_TOKENS", "1")
+    import youtokentome_tpu.train as train_mod
+
+    called = {}
+    orig = train_mod.run_training_sparse_sharded
+
+    def spy(buckets, used0, vs, mesh, **kw):
+        called["n_dev"] = mesh.devices.size
+        return orig(buckets, used0, vs, mesh, **kw)
+
+    monkeypatch.setattr(train_mod, "run_training_sparse_sharded", spy)
+    sharded_state = train_from_codepoints(cps, 30, cfg)
+    assert called.get("n_dev") == 8  # all virtual devices used by default
+
+    monkeypatch.setenv("YTTM_DEVICES", "1")
+    single_state = train_from_codepoints(cps, 30, cfg)
+    assert sharded_state.rules == single_state.rules
+    assert sharded_state.char2id == single_state.char2id
+
+
+def test_production_encode_dispatch_sharded(corpus, monkeypatch):
+    """Encoder.encode must route device merges through the data mesh on
+    a multi-device host (encode threads default to hardware_concurrency
+    in the reference, bpe.cpp:1638-1640) with bit-identical ids."""
+    from youtokentome_tpu.encoder import Encoder
+
+    _, alpha, buckets, used0 = corpus
+    rules = run_training(buckets, used0, 30)
+    char2id, renamed = rename_tokens(
+        alpha.char2id, rules, SpecialTokens(0, 1, 2, 3), 30
+    )
+    state = BPEState(char2id=char2id, rules=renamed,
+                     special_tokens=SpecialTokens(0, 1, 2, 3))
+    rng = random.Random(7)
+    sents = [
+        "".join(rng.choice("abc ") for _ in range(40)) for _ in range(50)
+    ]
+    for backend in ("native", "stream"):
+        monkeypatch.setenv("YTTM_ENCODE_BACKEND", backend)
+        enc = Encoder(state)
+        assert enc._get_mesh() is not None  # 8 virtual devices -> mesh on
+        sharded = enc.encode(sents, "id")
+        monkeypatch.setenv("YTTM_DEVICES", "1")
+        enc1 = Encoder(state)
+        assert enc1._get_mesh() is None
+        single = enc1.encode(sents, "id")
+        monkeypatch.delenv("YTTM_DEVICES")
+        assert sharded == single, f"backend={backend}"
+
+
 def test_sparse_sharded_tiny_dcap_forces_recount(corpus):
     """A tiny dcap drives every round through the global-recount fold;
     results must not change (delta and recount paths are equivalent)."""

@@ -84,6 +84,46 @@ class Encoder:
         # persistent cross-batch word cache for the native path (stable
         # uids + cached results; only novel words hit the device)
         self._wcache: Optional[fasttok.WordCache] = None
+        # data mesh over all visible devices (None on single-device
+        # hosts); resolved lazily so Encoder construction never forces
+        # backend init
+        self._mesh = None
+        self._mesh_resolved = False
+
+    def _get_mesh(self):
+        """Data-parallel device mesh for batch encodes, or None.
+
+        The reference fans encoding out over every hardware thread by
+        default (n_threads = hardware_concurrency, bpe.cpp:1638-1640);
+        the TPU equivalent is all visible chips.  YTTM_DEVICES caps the
+        device count (YTTM_DEVICES=1 disables sharding)."""
+        if not self._mesh_resolved:
+            self._mesh_resolved = True
+            import jax
+
+            from .parallel.mesh import data_mesh
+
+            nd = len(jax.devices())
+            cap = int(os.environ.get("YTTM_DEVICES", "0"))
+            if cap:
+                nd = min(nd, cap)
+            self._mesh = data_mesh(nd) if nd > 1 else None
+        return self._mesh
+
+    def _dispatch_greedy(self, mat: np.ndarray):
+        """Async-dispatch one padded [B, cap] chunk to the device(s):
+        sharded over the data mesh when one exists (the production
+        multi-chip path), single-device otherwise."""
+        mesh = self._get_mesh()
+        if mesh is not None and mat.shape[0] % mesh.devices.size == 0:
+            from .parallel.encode_sharded import encode_greedy_sharded
+
+            return encode_greedy_sharded(self.tables, mat, mesh)
+        import jax.numpy as jnp
+
+        from .ops.encode_kernel import _encode_greedy
+
+        return _encode_greedy(self.tables, jnp.asarray(mat))
 
     def _word_cache(self) -> fasttok.WordCache:
         if self._wcache is None:
@@ -171,11 +211,13 @@ class Encoder:
             mat = _pad_rows([e[2] for e in entries], cap)
             outs = []
             for c0 in range(0, mat.shape[0], DEVICE_BATCH):
-                outs.append(
-                    encode_batch(
-                        self.tables, mat[c0 : c0 + DEVICE_BATCH], dropout_prob, key
+                chunk = mat[c0 : c0 + DEVICE_BATCH]
+                if dropout_prob == 0.0:
+                    outs.append(np.asarray(self._dispatch_greedy(chunk)))
+                else:
+                    outs.append(
+                        encode_batch(self.tables, chunk, dropout_prob, key)
                     )
-                )
             k = uids_all.size
             out = np.concatenate(outs, axis=0)[:k]
             # vectorized ragged extraction: one boolean mask for the whole
@@ -371,10 +413,6 @@ class Encoder:
     def _merge_unique_words(self, words_flat: np.ndarray, word_off: np.ndarray):
         """Device-encode each unique word; returns (results_flat,
         res_off [U+1]) in uid order."""
-        import jax.numpy as jnp
-
-        from .ops.encode_kernel import _encode_greedy
-
         n_uniq = word_off.size - 1
         lengths = np.diff(word_off).astype(np.int64)
         res_lens = np.zeros(n_uniq, np.int64)
@@ -398,7 +436,7 @@ class Encoder:
                     [mat, np.full((kp - mat.shape[0], cap), -1, np.int32)]
                 )
             futs = [
-                _encode_greedy(self.tables, jnp.asarray(mat[c0 : c0 + DEVICE_BATCH]))
+                self._dispatch_greedy(mat[c0 : c0 + DEVICE_BATCH])
                 for c0 in range(0, kp, DEVICE_BATCH)
             ]
             pending.append((sel, futs))

@@ -20,6 +20,23 @@ from ..ops.encode_kernel import EncoderTables, _encode_greedy
 from .mesh import DATA_AXIS, data_mesh
 
 
+def encode_greedy_sharded(
+    tables: EncoderTables,
+    tokens: np.ndarray,
+    mesh: Mesh,
+) -> jax.Array:
+    """Asynchronously dispatch a [B, L] greedy-encode with the batch
+    sharded over the mesh (B must be a multiple of the device count).
+    Returns the (sharded) device array without blocking, so callers can
+    pipeline multiple chunks like the single-device fast path does.
+    """
+    toks = jax.device_put(
+        jnp.asarray(tokens, jnp.int32), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    tables_r = jax.device_put(tables, NamedSharding(mesh, P()))
+    return _encode_greedy(tables_r, toks)
+
+
 def encode_batch_sharded(
     tables: EncoderTables,
     tokens: np.ndarray,
@@ -38,9 +55,5 @@ def encode_batch_sharded(
         tokens = np.concatenate(
             [tokens, np.full((bp - b, L), -1, dtype=tokens.dtype)]
         )
-    toks = jax.device_put(
-        jnp.asarray(tokens, jnp.int32), NamedSharding(mesh, P(DATA_AXIS, None))
-    )
-    tables_r = jax.device_put(tables, NamedSharding(mesh, P()))
-    out = _encode_greedy(tables_r, toks)
+    out = encode_greedy_sharded(tables, tokens, mesh)
     return np.asarray(out)[:b]

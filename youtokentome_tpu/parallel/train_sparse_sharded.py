@@ -16,13 +16,18 @@ bpe.cpp:1099-1108; cross-thread count merges bpe.cpp:1078-1088):
     (old/new contributions of affected sites, O(dcap) each — the v3
     site lists) and the shards exchange ONLY those bounded buffers with
     one ``all_gather`` over ICI before every device folds the identical
-    concatenation into its table copy.  Communication is O(n_dev *
-    dcap) per round — never O(M) position arrays (the anti-pattern the
-    v1 sharded trainer had);
-  * rounds whose delta volume overflows ``dcap`` fall back to a local
-    recount reduced to O(pcap) per device, exchanged the same bounded
-    way (early rounds only — same amortization as the single-device
-    tiers).
+    concatenation into its table copy.  The common-case exchange is
+    O(n_dev * dcap) with dcap sized to the *delta*, independent of the
+    table capacity pcap;
+  * rounds whose local delta volume overflows ``dcap`` on ANY shard
+    (the earliest rounds, where the top pair occurs in most words) take
+    a separate recount branch: each shard reduces its full local
+    tombstone-aware count into a [pcap] buffer and the shards exchange
+    those instead — the delta-vs-recount decision is made global with
+    ``lax.pmax`` so every device takes the same branch and the
+    branch-local ``all_gather`` shapes agree.  Because the two branches
+    gather different buffer sizes, cheap late rounds never pay the
+    O(n_dev * pcap) recount exchange.
 
 Integer counts + a fixed gather order make the fold order-independent:
 rules are bit-identical to the single-device trainer at any device
@@ -31,7 +36,9 @@ count (tests/test_sharding.py).
 
 from __future__ import annotations
 
+import os
 import sys
+import time
 from typing import List, Tuple
 
 import functools
@@ -52,12 +59,19 @@ from ..ops.train_delta import (
     _unpack_key,
     host_count_table,
 )
-from ..ops.train_sparse import _apply_tomb, _gather_affected, _pairs_tomb
+from ..ops.train_sparse import (
+    _apply_tomb,
+    _gather_affected,
+    _host_table_tomb,
+    _pairs_tomb,
+)
 from ..ops.train_stream import (
     PAD,
     _topk_candidates,
     accept_prefix,
     flatten_word_buckets,
+    load_snapshot,
+    save_snapshot,
     store_rules,
 )
 from .mesh import DATA_AXIS, data_mesh
@@ -69,21 +83,23 @@ from .train_sharded import _MeshRef
     static_argnames=("vocab_size", "batch_k", "pcap", "dcap", "mesh_ref"),
 )
 def _train_sparse_sharded(
-    t, wid, freq, tk, tc, used_ids0, vocab_size, batch_k, pcap, dcap, mesh_ref
+    t, wid, freq, tk, tc, used, rules, used_ids0, limit,
+    vocab_size, batch_k, pcap, dcap, mesh_ref,
 ):
     mesh = mesh_ref.mesh
     kb = batch_k
 
-    def run(t, wid, freq, tk, tc, used0):
-        rules0 = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+    def run(t, wid, freq, tk, tc, used, rules, used0, limit):
         fw0 = freq[jnp.maximum(wid, 0)] * (wid >= 0)
 
         def cond(state):
-            _, _, _, used, done, overflow = state
-            return (~done) & (~overflow) & (used < vocab_size)
+            _, _, _, used, done, overflow, _ = state
+            return (
+                (~done) & (~overflow) & (used < jnp.minimum(vocab_size, limit))
+            )
 
         def body(state):
-            (t, fw), (tk, tc), rules, used, _, _ = state
+            (t, fw), (tk, tc), rules, used, _, _, nrec = state
             # replicated candidate selection (identical on every device)
             xs, ys = _unpack_key(tk)
             cc, cx, cy = _topk_candidates(tc, xs, ys, kb)
@@ -97,8 +113,17 @@ def _train_sparse_sharded(
             cs = jnp.cumsum(aff.astype(jnp.int32))
             n_aff = cs[-1]
 
-            def delta(args):
-                t2, fw, keys, w, cs = args
+            # the delta-vs-recount decision must be GLOBAL: every shard
+            # must take the same branch, both because a recount fold
+            # discards the old table and because each branch contains
+            # its own (differently shaped) all_gather.  pmax makes the
+            # flag identical on all devices.
+            any_recount = (
+                lax.pmax((n_aff > dcap).astype(jnp.int32), DATA_AXIS) > 0
+            )
+
+            def delta_fold(args):
+                t2, fw, keys, w, cs, tk, tc = args
                 pos, validj = _gather_affected(cs, dcap)
                 posc = jnp.minimum(pos, t2.shape[0] - 1)
                 ko = jnp.where(validj, keys[posc], PADKEY)
@@ -107,72 +132,70 @@ def _train_sparse_sharded(
                 twid = jnp.where(validj, wid[posc], -1)
                 tfw = jnp.where(validj, fw[posc], 0)
                 kn, wn, _, _ = _pairs_tomb(tt, twid, tfw)
-                return jnp.concatenate([ko, kn]), jnp.concatenate([-wo, wn])
+                dkeys = jnp.concatenate([ko, kn])
+                dvals = jnp.concatenate([-wo, wn])
+                # exchange ONLY the bounded [2*dcap] buffers; every
+                # device folds the identical concatenation
+                gk = lax.all_gather(dkeys, DATA_AXIS, tiled=True)
+                gv = lax.all_gather(dvals, DATA_AXIS, tiled=True)
+                return _reduce_by_key(
+                    jnp.concatenate([tk, gk]), jnp.concatenate([tc, gv]), pcap
+                )
 
-            def recount(args):
-                t2, fw, keys, w, cs = args
-                # local tombstone-aware full recount, reduced to the
-                # same bounded [2*dcap] buffer shape.  Local kinds are a
-                # subset of the global table's kinds, so n_local <=
-                # n_global <= pcap <= 2*dcap (the driver floors dcap at
-                # pcap/2) — nothing is ever truncated.
+            def recount_fold(args):
+                t2, fw, keys, w, cs, tk, tc = args
+                # full local tombstone-aware recount reduced to [pcap]:
+                # local kinds are a subset of the global table's kinds,
+                # so n_local <= n_global <= pcap — nothing is truncated.
+                # Local tables sum to the exact global table.
                 kf, wf, _, _ = _pairs_tomb(t2, wid, fw)
-                lk, lc, _ = _reduce_by_key(kf, wf, 2 * dcap)
-                return lk, lc
-
-            # the delta-vs-recount decision must be GLOBAL: a recount
-            # fold discards the old table, so every shard must
-            # contribute a full local recount (not a delta) that round.
-            # pmax makes the flag identical on all devices; recounts
-            # happen only in the earliest rounds (top pair in most words)
-            any_recount = lax.pmax((n_aff > dcap).astype(jnp.int32), DATA_AXIS) > 0
-            dkeys, dvals = lax.cond(
-                any_recount, recount, delta, (t2, fw, keys, w, cs)
-            )
-
-            # exchange ONLY the bounded buffers (O(n_dev * dcap) over
-            # ICI); every device folds the identical concatenation
-            gk = lax.all_gather(dkeys, DATA_AXIS, tiled=True)
-            gv = lax.all_gather(dvals, DATA_AXIS, tiled=True)
+                lk, lc, _ = _reduce_by_key(kf, wf, pcap)
+                gk = lax.all_gather(lk, DATA_AXIS, tiled=True)
+                gv = lax.all_gather(lc, DATA_AXIS, tiled=True)
+                return _reduce_by_key(gk, gv, pcap)
 
             tk2, tc2, n_live = lax.cond(
                 any_recount,
-                # recount: local tables sum to the exact global table
-                lambda _: _reduce_by_key(gk, gv, pcap),
-                # delta: adjust the replicated table by every shard's +/-
-                lambda _: _reduce_by_key(
-                    jnp.concatenate([tk, gk]), jnp.concatenate([tc, gv]), pcap
-                ),
-                None,
+                recount_fold,
+                delta_fold,
+                (t2, fw, keys, w, cs, tk, tc),
             )
             table_overflow = n_live > pcap
 
             rules = store_rules(rules, acc, cx, cy, zs, used0, vocab_size)
             used = used + n_acc
-            return (t2, fw), (tk2, tc2), rules, used, done, table_overflow
+            nrec = nrec + any_recount.astype(jnp.int32)
+            return (
+                (t2, fw), (tk2, tc2), rules, used, done, table_overflow, nrec
+            )
 
-        (t2, _), (tk2, tc2), rules, used, done, overflow = lax.while_loop(
-            cond,
-            body,
-            (
-                (t.astype(jnp.int32), fw0.astype(jnp.int32)),
-                (tk, tc),
-                rules0,
-                used0.astype(jnp.int32),
-                jnp.asarray(False),
-                jnp.asarray(False),
-            ),
+        (t2, _), (tk2, tc2), rules, used, done, overflow, nrec = (
+            lax.while_loop(
+                cond,
+                body,
+                (
+                    (t.astype(jnp.int32), fw0.astype(jnp.int32)),
+                    (tk, tc),
+                    rules,
+                    used.astype(jnp.int32),
+                    jnp.asarray(False),
+                    jnp.asarray(False),
+                    jnp.asarray(0, jnp.int32),
+                ),
+            )
         )
-        return rules, used - used0, overflow
+        return t2, tk2, tc2, rules, used, done, overflow, nrec
 
     shmapped = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(
+            P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    return shmapped(t, wid, freq, tk, tc, used_ids0)
+    return shmapped(t, wid, freq, tk, tc, used, rules, used_ids0, limit)
 
 
 def _shard_stream(t, wid, n_dev: int):
@@ -205,64 +228,120 @@ def run_training_sparse_sharded(
     vocab_size: int,
     mesh: Mesh | None = None,
     batch_k: int = 16,
+    progress_every: int = 0,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume_path: str | None = None,
 ) -> List[Tuple[int, int, int]]:
-    """Bit-identical to run_training_sparse at any device count."""
-    import os
+    """Bit-identical to run_training_sparse at any device count.
 
+    Same driver contract as the single-device trainers (progress lines,
+    portable snapshots via save_snapshot/load_snapshot, resume): this is
+    the production multi-device path train.py dispatches to.
+    """
     mesh = mesh or data_mesh()
     n_dev = mesh.devices.size
     if not buckets:
         print(f"WARNING merged only: {used_ids0} pairs of tokens", file=sys.stderr)
         return []
-    t, wid, freq = flatten_word_buckets(buckets)
+    if resume_path:
+        t, wid, freq, rules, used = load_snapshot(
+            resume_path, used_ids0, vocab_size
+        )
+        rules = np.asarray(rules)
+    else:
+        t, wid, freq = flatten_word_buckets(buckets)
+        rules = np.full((vocab_size, 3), -1, dtype=np.int32)
+        used = used_ids0
     seg_t, seg_w, per = _shard_stream(t, wid, n_dev)
 
-    uk, uc = host_count_table(t, wid, freq)
+    uk, uc = _host_table_tomb(t, wid, freq)
     n_live = uk.size
     pcap = int(os.environ.get("YTTM_TRAIN_PCAP", "0")) or _pcap_budget(
-        n_live, vocab_size - used_ids0
+        n_live, vocab_size - used
     )
-    # dcap >= pcap/2 is a correctness floor, not a tuning choice: the
-    # recount fold reduces each shard's full table into [2*dcap] and
-    # n_local <= n_global <= pcap must always fit
-    dcap = max(
-        int(os.environ.get("YTTM_TRAIN_DCAP", "0"))
-        or _next_pow2(min(max(1 << 12, per >> 6), 1 << 17)),
-        pcap // 2,
+    # dcap sizes the per-round delta exchange only (the recount branch
+    # has its own [pcap] buffers), so it tracks the typical per-round
+    # site count, NOT pcap
+    dcap = int(os.environ.get("YTTM_TRAIN_DCAP", "0")) or _next_pow2(
+        min(max(1 << 12, per >> 6), 1 << 17)
     )
     tk, tc = _fit_table(uk, uc, pcap)
 
-    td = jax.device_put(
-        jnp.asarray(seg_t.reshape(-1)), NamedSharding(mesh, P(DATA_AXIS))
-    )
-    wd = jax.device_put(
-        jnp.asarray(seg_w.reshape(-1)), NamedSharding(mesh, P(DATA_AXIS))
-    )
-    fd = jax.device_put(jnp.asarray(freq), NamedSharding(mesh, P()))
-    tkd = jax.device_put(jnp.asarray(tk), NamedSharding(mesh, P()))
-    tcd = jax.device_put(jnp.asarray(tc), NamedSharding(mesh, P()))
-
-    while True:
-        rules, n_rules, overflow = _train_sparse_sharded(
-            td, wd, fd, tkd, tcd,
-            jnp.asarray(used_ids0, jnp.int32), vocab_size, batch_k,
-            pcap, dcap, _MeshRef(mesh),
+    def shard_put(seg_t, seg_w):
+        td = jax.device_put(
+            jnp.asarray(seg_t.reshape(-1)), NamedSharding(mesh, P(DATA_AXIS))
         )
-        if not bool(overflow):
-            break
-        # rare: live pair kinds exceeded pcap; retry with doubled table
-        # (a fresh run — the table is rebuilt from the initial stream)
-        pcap *= 2
-        dcap = max(dcap, pcap // 2)
-        tk, tc = _fit_table(uk, uc, pcap)
-        tkd = jax.device_put(jnp.asarray(tk), NamedSharding(mesh, P()))
-        tcd = jax.device_put(jnp.asarray(tc), NamedSharding(mesh, P()))
+        wd = jax.device_put(
+            jnp.asarray(seg_w.reshape(-1)), NamedSharding(mesh, P(DATA_AXIS))
+        )
+        return td, wd
 
-    n = int(n_rules)
-    if used_ids0 + n < vocab_size:
+    td, wd = shard_put(seg_t, seg_w)
+    rep = NamedSharding(mesh, P())
+    fd = jax.device_put(jnp.asarray(freq), rep)
+    tkd = jax.device_put(jnp.asarray(tk), rep)
+    tcd = jax.device_put(jnp.asarray(tc), rep)
+    rules_d = jax.device_put(jnp.asarray(rules, jnp.int32), rep)
+    u0 = jax.device_put(jnp.asarray(used_ids0, jnp.int32), rep)
+
+    seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)
+    t_start = time.time()
+    tot_rec = 0
+    tot_rounds = 0
+    while used < vocab_size:
+        limit = min(vocab_size, used + seg)
+        td, wd2 = td, wd
+        td, tkd, tcd, rules_d, used_d, done, overflow, nrec = (
+            _train_sparse_sharded(
+                td, wd, fd, tkd, tcd,
+                jax.device_put(jnp.asarray(used, jnp.int32), rep),
+                rules_d, u0,
+                jax.device_put(jnp.asarray(limit, jnp.int32), rep),
+                vocab_size, batch_k, pcap, dcap, _MeshRef(mesh),
+            )
+        )
+        prev_used = used
+        used = int(used_d)
+        tot_rec += int(nrec)
+        tot_rounds += 1
+        if bool(overflow):
+            # rare: live pair kinds exceeded pcap; rebuild the table
+            # from the current tombstoned stream with doubled capacity
+            # and continue from `used` (progress is kept)
+            pcap *= 2
+            uk, uc = _host_table_tomb(
+                np.asarray(td), np.asarray(wd), np.asarray(fd)
+            )
+            while pcap < uk.size:
+                pcap *= 2
+            tk, tc = _fit_table(uk, uc, pcap)
+            tkd = jax.device_put(jnp.asarray(tk), rep)
+            tcd = jax.device_put(jnp.asarray(tc), rep)
+            continue
+        if progress_every:
+            n_merges = used - used_ids0
+            dt = time.time() - t_start
+            print(
+                f"id: {used}/{vocab_size}  merges: {n_merges}  "
+                f"({dt:.1f}s, {n_merges / max(dt, 1e-9):.0f} merges/s; "
+                f"{int(nrec)} recount rounds this segment, exchange "
+                f"{n_dev}x{2 * dcap} delta / {n_dev}x{pcap} recount keys)",
+                file=sys.stderr,
+            )
+        if checkpoint_path and checkpoint_every and used < vocab_size:
+            save_snapshot(
+                checkpoint_path, np.asarray(td), np.asarray(wd),
+                np.asarray(fd), np.asarray(rules_d), used, used_ids0,
+            )
+        if bool(done):
+            break
+
+    n = used - used_ids0
+    if n < vocab_size - used_ids0:
         print(
-            f"WARNING merged only: {used_ids0 + n} pairs of tokens",
+            f"WARNING merged only: {used} pairs of tokens",
             file=sys.stderr,
         )
-    out = np.asarray(rules[:n])
+    out = np.asarray(rules_d[:n])
     return [tuple(map(int, r)) for r in out]

@@ -24,6 +24,33 @@ from .ops.train_sparse import run_training_sparse
 from .ops.train_stream import run_training_stream
 from .ops.utf8 import decode_utf8_bytes
 from .oracle import rename_tokens
+from .parallel.train_sparse_sharded import run_training_sparse_sharded
+
+
+def _training_mesh(buckets):
+    """Production multi-device dispatch (the analog of the reference's
+    auto-sharding across threads by default, bpe.cpp:864-873): train on
+    a data mesh over every visible device when there is more than one
+    and the deduped stream is large enough to amortize the per-round
+    collective.  YTTM_DEVICES caps the device count (1 disables);
+    YTTM_SHARD_MIN_TOKENS (default 2**17) is the serial cutoff, the
+    analog of the reference's small-input serial path
+    (bpe.cpp:1710-1717)."""
+    import jax
+
+    nd = len(jax.devices())
+    cap = int(os.environ.get("YTTM_DEVICES", "0"))
+    if cap:
+        nd = min(nd, cap)
+    if nd <= 1:
+        return None
+    min_tokens = int(os.environ.get("YTTM_SHARD_MIN_TOKENS", str(1 << 17)))
+    stream_tokens = sum(int((mat >= 0).sum()) for mat, _ in buckets)
+    if stream_tokens < min_tokens:
+        return None
+    from .parallel.mesh import data_mesh
+
+    return data_mesh(nd)
 
 
 def train_from_codepoints(
@@ -65,22 +92,24 @@ def train_from_codepoints(
     # recount per round (v1, any vocab size).  The packed uint32 pair
     # keys of v2/v3 need vocab < 65536.
     impl = os.environ.get("YTTM_TRAIN_IMPL", "sparse")
-    if impl == "sparse" and vocab_size < 65536:
-        run = run_training_sparse
-    elif impl == "delta" and vocab_size < 65536:
-        run = run_training_delta
-    else:
-        run = run_training_stream
-    rules = run(
-        buckets,
-        used_ids0,
-        vocab_size,
+    kwargs = dict(
         batch_k=int(os.environ.get("YTTM_TRAIN_BATCH_K", "16")),
         progress_every=int(os.environ.get("YTTM_TRAIN_PROGRESS", "0")),
         checkpoint_path=os.environ.get("YTTM_TRAIN_CHECKPOINT") or None,
         checkpoint_every=int(os.environ.get("YTTM_TRAIN_CHECKPOINT_EVERY", "0")),
         resume_path=os.environ.get("YTTM_TRAIN_RESUME") or None,
     )
+    mesh = _training_mesh(buckets) if impl == "sparse" and vocab_size < 65536 else None
+    if mesh is not None:
+        rules = run_training_sparse_sharded(
+            buckets, used_ids0, vocab_size, mesh, **kwargs
+        )
+    elif impl == "sparse" and vocab_size < 65536:
+        rules = run_training_sparse(buckets, used_ids0, vocab_size, **kwargs)
+    elif impl == "delta" and vocab_size < 65536:
+        rules = run_training_delta(buckets, used_ids0, vocab_size, **kwargs)
+    else:
+        rules = run_training_stream(buckets, used_ids0, vocab_size, **kwargs)
 
     char2id, rules = rename_tokens(alphabet.char2id, rules, special, vocab_size)
     return BPEState(char2id=char2id, rules=rules, special_tokens=special)
