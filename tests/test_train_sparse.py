@@ -165,3 +165,90 @@ def test_checkpoint_resume_rejects_mismatched_base(tmp_path):
         train_sparse.run_training_sparse(
             buckets, used0 + 1, 24, resume_path=ckpt
         )
+
+
+def test_wide_vocab_matches_stream():
+    """vocab_size >= 65536 flips the trainers to two-component pair keys
+    (the reference has no vocab limit); rules must stay bit-identical to
+    the v1 stream trainer on the same corpus."""
+    import random
+
+    from youtokentome_tpu.host import preprocess
+    from youtokentome_tpu.ops import train_sparse
+    from youtokentome_tpu.ops.train_stream import run_training_stream
+
+    rng = random.Random(5)
+    text = "".join(rng.choice("abcde ") for _ in range(600))
+    cps = np.array([ord(c) for c in text], dtype=np.uint32)
+    uniq, cnt, dl = preprocess.char_frequencies(cps)
+    alpha = preprocess.build_alphabet(uniq, cnt, dl, 1.0, 4)
+    buckets = preprocess.training_word_buckets(cps, alpha)
+    used0 = len(alpha.char2id) + 4
+    # vocab 70000 is never reached on this corpus (WARNING + truncation,
+    # like the reference bpe.cpp:1137-1145) but statically selects the
+    # wide key layout in the sparse/delta kernels
+    stream = run_training_stream(buckets, used0, 70000)
+    sparse = train_sparse.run_training_sparse(buckets, used0, 70000)
+    assert sparse == stream
+
+    from youtokentome_tpu.ops.train_delta import run_training_delta
+
+    delta = run_training_delta(buckets, used0, 70000)
+    assert delta == stream
+
+
+def test_wide_vocab_sharded_invariance():
+    import random
+
+    from youtokentome_tpu.host import preprocess
+    from youtokentome_tpu.ops import train_sparse
+    from youtokentome_tpu.parallel.mesh import data_mesh
+    from youtokentome_tpu.parallel.train_sparse_sharded import (
+        run_training_sparse_sharded,
+    )
+
+    rng = random.Random(6)
+    text = "".join(rng.choice("abc ") for _ in range(400))
+    cps = np.array([ord(c) for c in text], dtype=np.uint32)
+    uniq, cnt, dl = preprocess.char_frequencies(cps)
+    alpha = preprocess.build_alphabet(uniq, cnt, dl, 1.0, 4)
+    buckets = preprocess.training_word_buckets(cps, alpha)
+    used0 = len(alpha.char2id) + 4
+    single = train_sparse.run_training_sparse(buckets, used0, 70000)
+    sharded = run_training_sparse_sharded(buckets, used0, 70000, data_mesh(4))
+    assert sharded == single
+
+
+def test_reduce_by_key_wide_large_ids():
+    """The two-component reduce must be exact for token ids far above
+    65535 (key components use the full uint32 range)."""
+    import jax.numpy as jnp
+
+    from youtokentome_tpu.ops.train_delta import PADKEY, _reduce_by_key
+
+    rng = np.random.default_rng(0)
+    n = 512
+    xs = rng.integers(60000, 200000, n).astype(np.uint32)
+    ys = rng.integers(60000, 200000, n).astype(np.uint32)
+    vals = rng.integers(-3, 8, n).astype(np.int32)
+    pad = rng.random(n) < 0.2
+    xs[pad] = 0xFFFFFFFF
+    ys[pad] = 0xFFFFFFFF
+    vals[pad] = 0
+    ko, vo, nk = _reduce_by_key(
+        (jnp.asarray(xs), jnp.asarray(ys)), jnp.asarray(vals), 1024
+    )
+    kox, koy = np.asarray(ko[0]), np.asarray(ko[1])
+    vo = np.asarray(vo)
+    # numpy reference
+    ref = {}
+    for x, y, v in zip(xs, ys, vals):
+        if x != 0xFFFFFFFF:
+            ref[(int(x), int(y))] = ref.get((int(x), int(y)), 0) + int(v)
+    ref = {k: v for k, v in ref.items() if v > 0}
+    got = {
+        (int(kox[i]), int(koy[i])): int(vo[i])
+        for i in range(int(nk))
+    }
+    assert got == ref
+    assert np.all(kox[int(nk):] == 0xFFFFFFFF)

@@ -9,10 +9,11 @@ revalidated two-tier queue (bpe.cpp:149-314).
 
 This kernel is the tensor-native equivalent:
 
-  * an exact **pair-count table** lives on device: packed uint32 keys
-    (x<<16|y, valid while vocab < 65536) + int32 counts, capacity PCAP
-    — the analog of pair2cnt, always exact (no lazy revalidation
-    needed because updates are applied synchronously each round);
+  * an exact **pair-count table** lives on device: uint32 key tuples
+    (packed x<<16|y below vocab 65536, two components above — see the
+    key-layout note below) + int32 counts, capacity PCAP — the analog
+    of pair2cnt, always exact (no lazy revalidation needed because
+    updates are applied synchronously each round);
   * per round, the tie-ordered top-k candidates come from a sort over
     the *table* (|table| ~ unique pairs, 16-64x smaller than the
     stream);
@@ -64,57 +65,95 @@ from .train_stream import (
 
 PADKEY = jnp.uint32(0xFFFFFFFF)
 
+# Pair keys are tuples of uint32 arrays so the same kernels serve every
+# vocab size:
+#   narrow (vocab < 65536, the common case): one packed component
+#     x<<16 | y — 2-operand 1-key sorts in the hot loop;
+#   wide (vocab >= 65536; the reference has no vocab limit): two
+#     components (x, y) — 3-operand 2-key lexicographic sorts.
+# Every component of an invalid/padding key is PADKEY (all-ones), which
+# sorts last in both layouts and can never equal a real component
+# (token ids are < 2**31).
 
-def _pack_key(kx: jnp.ndarray, ky: jnp.ndarray) -> jnp.ndarray:
-    """(x, y) -> x<<16 | y as uint32; invalid (BIG) -> PADKEY."""
+
+def _pack_keys(kx: jnp.ndarray, ky: jnp.ndarray, wide: bool) -> Tuple[jnp.ndarray, ...]:
+    """(x, y) int32 -> key tuple; invalid (BIG) -> all-PADKEY."""
+    bad = kx == BIG
+    if wide:
+        return (
+            jnp.where(bad, PADKEY, kx.astype(jnp.uint32)),
+            jnp.where(bad, PADKEY, ky.astype(jnp.uint32)),
+        )
     key = (kx.astype(jnp.uint32) << 16) | (ky.astype(jnp.uint32) & 0xFFFF)
-    return jnp.where(kx == BIG, PADKEY, key)
+    return (jnp.where(bad, PADKEY, key),)
 
 
-def _unpack_key(key: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _unpack_key(keys: Tuple[jnp.ndarray, ...]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if len(keys) == 2:
+        invalid = keys[0] == PADKEY
+        kx = jnp.where(invalid, BIG, keys[0].astype(jnp.int32))
+        ky = jnp.where(invalid, BIG, keys[1].astype(jnp.int32))
+        return kx, ky
+    key = keys[0]
     invalid = key == PADKEY
     kx = jnp.where(invalid, BIG, (key >> 16).astype(jnp.int32))
     ky = jnp.where(invalid, BIG, (key & 0xFFFF).astype(jnp.int32))
     return kx, ky
 
 
-def _compact_kv(keep: jnp.ndarray, keys: jnp.ndarray, vals: jnp.ndarray, cap: int):
-    """Front-pack (key, val) pairs where ``keep`` into a [cap] buffer
-    (PADKEY / 0 fill) via one 3-operand sort (scatter-free: TPU scatters
-    serialize, sorts don't).  Returns (keys [cap], vals [cap], n_keep)."""
-    (ko, vo), n_keep = sort_compact(
+def _compact_kv(keep: jnp.ndarray, keys: Tuple[jnp.ndarray, ...],
+                vals: jnp.ndarray, cap: int):
+    """Front-pack (key, val) entries where ``keep`` into a [cap] buffer
+    (PADKEY / 0 fill) via one multi-operand sort (scatter-free: TPU
+    scatters serialize, sorts don't).  Returns (keys [cap], vals [cap],
+    n_keep)."""
+    outs, n_keep = sort_compact(
         keep,
-        (jnp.where(keep, keys, PADKEY), jnp.where(keep, vals, 0)),
-        (PADKEY, 0),
+        tuple(jnp.where(keep, k, PADKEY) for k in keys)
+        + (jnp.where(keep, vals, 0),),
+        (PADKEY,) * len(keys) + (0,),
     )
-    n = ko.shape[0]
+    ko, vo = outs[:-1], outs[-1]
+    n = vo.shape[0]
     if n < cap:
-        ko = jnp.concatenate([ko, jnp.full((cap - n,), PADKEY, ko.dtype)])
+        ko = tuple(
+            jnp.concatenate([k, jnp.full((cap - n,), PADKEY, k.dtype)])
+            for k in ko
+        )
         vo = jnp.concatenate([vo, jnp.zeros((cap - n,), vo.dtype)])
-    return ko[:cap], vo[:cap], n_keep
+    return tuple(k[:cap] for k in ko), vo[:cap], n_keep
 
 
-def _reduce_by_key(keys: jnp.ndarray, vals: jnp.ndarray, cap: int):
-    """Sort (key, val), sum vals per key, keep positive non-pad totals,
-    compact to [cap].  Per-key totals land at segment ends via the
-    global-cumsum-minus-segment-base trick (works for negative deltas,
-    unlike cummax-of-end-marks; no scatter-lowered segment_sum)."""
-    n = keys.shape[0]
+def _reduce_by_key(keys: Tuple[jnp.ndarray, ...], vals: jnp.ndarray, cap: int):
+    """Sort (keys..., val), sum vals per key, keep positive non-pad
+    totals, compact to [cap].  Per-key totals land at segment ends via
+    the global-cumsum-minus-segment-base trick (works for negative
+    deltas, unlike cummax-of-end-marks; no scatter-lowered
+    segment_sum)."""
+    n = vals.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    ks, vs = lax.sort((keys, vals), num_keys=1)
-    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    sorted_ = lax.sort(keys + (vals,), num_keys=len(keys))
+    ks, vs = sorted_[:-1], sorted_[-1]
+    diff = ks[0][1:] != ks[0][:-1]
+    for k in ks[1:]:
+        diff = diff | (k[1:] != k[:-1])
+    first = jnp.concatenate([jnp.ones((1,), bool), diff])
     cs = jnp.cumsum(vs)
     ws = lax.cummax(jnp.where(first, idx, 0))
     total = cs - (cs[ws] - vs[ws])
     is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-    keep = is_end & (ks != PADKEY) & (total > 0)
+    keep = is_end & (ks[0] != PADKEY) & (total > 0)
     return _compact_kv(keep, ks, total, cap)
 
 
-def _full_recount(t, wid, fw, pcap):
+def _concat_keys(a: Tuple[jnp.ndarray, ...], b: Tuple[jnp.ndarray, ...]):
+    return tuple(jnp.concatenate([x, y]) for x, y in zip(a, b))
+
+
+def _full_recount(t, wid, fw, pcap, wide: bool):
     """Count every pair from scratch; table compacted to [pcap]."""
     kx, ky, w = pair_keys_and_weights_fw(t, wid, fw)
-    keys = jnp.where(w > 0, _pack_key(kx, ky), PADKEY)
+    keys = _pack_keys(jnp.where(w > 0, kx, BIG), ky, wide)
     vals = jnp.where(w > 0, w, 0)
     return _reduce_by_key(keys, vals, pcap)
 
@@ -145,12 +184,12 @@ def _affected_positions(t, wid, hit):
     return before | after
 
 
-def _delta_contributions(t, wid, fw, aff_pos, dcap, sign):
+def _delta_contributions(t, wid, fw, aff_pos, dcap, sign, wide):
     """Pair contributions of affected words, compacted to [dcap] with
     ``sign`` applied.  Returns (keys, weights, n, overflow)."""
     kx, ky, w = pair_keys_and_weights_fw(t, wid, fw)
     mask = aff_pos & (w > 0)
-    keys = _pack_key(kx, ky)
+    keys = _pack_keys(kx, ky, wide)
     vals = sign * w
     dk, dv, n = _compact_kv(mask, keys, vals, dcap)
     return dk, dv, n, n > dcap
@@ -183,6 +222,7 @@ def train_rounds_delta(
     flag are carried *through* the apply compaction, so the new-side
     delta needs no word-level lookup."""
     kb = batch_k
+    wide = vocab_size > 65535
     fw0 = freq[jnp.maximum(wid, 0)] * (wid >= 0)
 
     def cond(state):
@@ -199,25 +239,25 @@ def train_rounds_delta(
         hit, rix = pair_hits(t, wid, acc, cx, cy)
         aff = _affected_positions(t, wid, hit)
         dk_old, dv_old, n_old, of_old = _delta_contributions(
-            t, wid, fw, aff, dcap, jnp.int32(-1)
+            t, wid, fw, aff, dcap, jnp.int32(-1), wide
         )
         t2, w2, fw2, aff2 = apply_accepted(
             t, wid, acc, cx, cy, zs,
             extra=(fw, aff.astype(jnp.int32)), hit=hit, rix=rix,
         )
         dk_new, dv_new, n_new, of_new = _delta_contributions(
-            t2, w2, fw2, aff2 != 0, dcap, jnp.int32(1)
+            t2, w2, fw2, aff2 != 0, dcap, jnp.int32(1), wide
         )
 
         def delta_path(args):
             tk, tc, dk_old, dv_old, dk_new, dv_new, t2, w2, fw2 = args
-            keys = jnp.concatenate([tk, dk_old, dk_new])
+            keys = _concat_keys(_concat_keys(tk, dk_old), dk_new)
             vals = jnp.concatenate([tc, dv_old, dv_new])
             return _reduce_by_key(keys, vals, pcap)
 
         def recount_path(args):
             _, _, _, _, _, _, t2, w2, fw2 = args
-            return _full_recount(t2, w2, fw2, pcap)
+            return _full_recount(t2, w2, fw2, pcap, wide)
 
         tk2, tc2, n_live = lax.cond(
             of_old | of_new,
@@ -265,9 +305,9 @@ def host_count_table(t: np.ndarray, wid: np.ndarray, freq: np.ndarray):
     counted = valid & (~eq | (offset % 2 == 0))
     w = np.where(counted, freq[np.maximum(wid, 0)], 0)
     sel = w > 0
-    keys = ((t[sel].astype(np.uint64) << 16) | nxt_t[sel].astype(np.uint64)).astype(
-        np.uint32
-    )
+    # uint64 (x<<32 | y) host keys hold any vocab; _fit_table lays them
+    # out for the device (packed uint32 below 65536, two-component above)
+    keys = (t[sel].astype(np.uint64) << 32) | nxt_t[sel].astype(np.uint64)
     uk, inv = np.unique(keys, return_inverse=True)
     cnts = np.bincount(inv, weights=w[sel].astype(np.float64)).astype(np.int64)
     return uk, cnts.astype(np.int32)
@@ -294,20 +334,32 @@ def _pcap_budget(n_live0: int, merges: int) -> int:
     return _next_pow2(max(2 * n_live0, n_live0 + early + late, 1 << 14))
 
 
-def _fit_table(tk, tc, pcap: int):
-    """Pad or slice the table to exactly [pcap] (host-side, one-time)."""
-    kh = np.asarray(tk)
+def _fit_table(tk, tc, pcap: int, wide: bool = False):
+    """Lay the host (uint64-keyed) table out for the device at exactly
+    [pcap]: a 1-component packed-uint32 key tuple when narrow, a
+    2-component (x, y) tuple when wide.  Host-side, one-time."""
+    kh = np.asarray(tk, np.uint64)
     ch = np.asarray(tc)
-    if kh.shape[0] >= pcap:
-        assert np.all(kh[pcap:] == 0xFFFFFFFF), (
-            "count table does not fit pcap; live pairs would be dropped"
-        )
-        return jnp.asarray(kh[:pcap]), jnp.asarray(ch[:pcap])
-    ko = np.full(pcap, 0xFFFFFFFF, np.uint32)
+    assert kh.shape[0] <= pcap, (
+        "count table does not fit pcap; live pairs would be dropped"
+    )
+    n = kh.shape[0]
     co = np.zeros(pcap, np.int32)
-    ko[: kh.shape[0]] = kh
-    co[: ch.shape[0]] = ch
-    return jnp.asarray(ko), jnp.asarray(co)
+    co[:n] = ch[:n]
+    xs = (kh >> np.uint64(32)).astype(np.uint32)
+    ys = (kh & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    if wide:
+        kox = np.full(pcap, 0xFFFFFFFF, np.uint32)
+        koy = np.full(pcap, 0xFFFFFFFF, np.uint32)
+        kox[:n] = xs
+        koy[:n] = ys
+        return (jnp.asarray(kox), jnp.asarray(koy)), jnp.asarray(co)
+    assert n == 0 or int(xs.max()) < 65536, (
+        "narrow table layout requires token ids < 65536"
+    )
+    ko = np.full(pcap, 0xFFFFFFFF, np.uint32)
+    ko[:n] = (xs.astype(np.uint32) << 16) | ys.astype(np.uint32)
+    return (jnp.asarray(ko),), jnp.asarray(co)
 
 
 def run_training_delta(
@@ -351,15 +403,18 @@ def run_training_delta(
     import os
 
     m = int(td.shape[0])
+    wide = vocab_size > 65535
     dcap = int(
         os.environ.get("YTTM_TRAIN_DCAP", "0")
     ) or _next_pow2(max(1 << 14, m >> 4))
     uk, uc = host_count_table(t, wid, freq)
     n_live = uk.size
+    # pair kinds never exceed stream positions: cap the budget at
+    # next_pow2(M) so huge vocab targets on small corpora stay cheap
     pcap = int(
         os.environ.get("YTTM_TRAIN_PCAP", "0")
-    ) or _pcap_budget(n_live, vocab_size - used_ids0)
-    tk, tc = _fit_table(uk, uc, pcap)
+    ) or min(_pcap_budget(n_live, vocab_size - used_ids0), _next_pow2(m))
+    tk, tc = _fit_table(uk, uc, pcap, wide)
 
     seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)
     t_start = time.time()
@@ -381,7 +436,7 @@ def run_training_delta(
             # reduce kept more than the doubled capacity
             while pcap < uk.size:
                 pcap *= 2
-            tk, tc = _fit_table(uk, uc, pcap)
+            tk, tc = _fit_table(uk, uc, pcap, wide)
             continue
         if progress_every:
             n_merges = used - used_ids0

@@ -55,8 +55,10 @@ from jax import lax
 from .train_delta import (
     PADKEY,
     _affected_positions,
+    _concat_keys,
     _fit_table,
     _next_pow2,
+    _pack_keys,
     _pcap_budget,
     _reduce_by_key,
     _unpack_key,
@@ -73,23 +75,17 @@ from .train_stream import (
     store_rules,
 )
 
-# sentinel that can never equal a real packed pair key: the dispatch
-# gate (train.py) requires vocab_size < 65536, so the max token id is
-# 65534 and a real key's x-field never reaches 0xFFFF — keys with
-# x=0xFFFF (NOKEY here, PADKEY for invalid positions) are unreachable
-NOKEY = jnp.uint32(0xFFFFFFFE)
-
-
-def _pairs_tomb(t: jnp.ndarray, wid: jnp.ndarray, fw: jnp.ndarray):
-    """Packed pair keys + parity-masked weights over a tombstoned
-    (sub)stream.
+def _pairs_tomb(t: jnp.ndarray, wid: jnp.ndarray, fw: jnp.ndarray,
+                wide: bool = False):
+    """Pair keys + parity-masked weights over a tombstoned (sub)stream.
 
     Live positions (t >= 0) form the logical stream; each live position
     pairs with its next live neighbour in the same word.  Run parity is
     evaluated in live-rank space, which makes this bit-equivalent to
     train_stream.pair_keys_and_weights_fw on the compacted stream.
-    Returns (keys uint32 [n], w int32 [n], live bool [n], d int32 [n])
-    where d is the 0-based live rank (reused by the apply masks).
+    Returns (keys: uint32 tuple (see train_delta key layout), w int32
+    [n], live bool [n], d int32 [n]) where d is the 0-based live rank
+    (reused by the apply masks).
     """
     n = t.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -111,8 +107,7 @@ def _pairs_tomb(t: jnp.ndarray, wid: jnp.ndarray, fw: jnp.ndarray):
     off = d - lnd - 1
     counted = haspair & (~eq | (off % 2 == 0))
     w = jnp.where(counted, fw, 0).astype(jnp.int32)
-    key = (t.astype(jnp.uint32) << 16) | (tn.astype(jnp.uint32) & 0xFFFF)
-    keys = jnp.where(haspair, key, PADKEY)
+    keys = _pack_keys(jnp.where(haspair, t, BIG), tn, wide)
     return keys, w, live, d
 
 
@@ -121,15 +116,17 @@ def _apply_tomb(t, keys, live, d, acc, cx, cy, zs, kb: int):
     selected pair-start positions become z, their live partners become
     PAD tombstones.  Parity selection inside runs of hits matches
     apply_accepted under the live-rank bijection."""
-    ak = jnp.where(
-        acc,
-        (cx.astype(jnp.uint32) << 16) | (cy.astype(jnp.uint32) & 0xFFFF),
-        NOKEY,
-    )
+    # accepted candidates in the same key layout as the stream keys; a
+    # non-accepted slot never matches because mj is gated on acc[j]
+    # (stream padding keys are all-PADKEY and a real candidate's
+    # components are < 2**31, so padding can't match either)
+    ak = _pack_keys(cx, cy, wide=len(keys) == 2)
     hit = jnp.zeros(t.shape, bool)
     rix = jnp.zeros(t.shape, jnp.int32)
     for j in range(kb):
-        mj = keys == ak[j]
+        mj = acc[j]
+        for kc, ac in zip(keys, ak):
+            mj = mj & (kc == ac[j])
         rix = jnp.where(mj & ~hit, j, rix)
         hit = hit | mj
     # alternate selection along runs of consecutive (in live order) hits
@@ -178,6 +175,7 @@ def train_rounds_sparse(
     ``table_overflow`` when live pairs exceed ``pcap`` (the host retries
     with a doubled table)."""
     kb = batch_k
+    wide = vocab_size > 65535
     fw0 = freq[jnp.maximum(wid, 0)] * (wid >= 0)
 
     def cond(state):
@@ -191,7 +189,7 @@ def train_rounds_sparse(
         acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, kb)
         done = n_acc == 0
 
-        keys, w, live, d = _pairs_tomb(t, wid, fw)
+        keys, w, live, d = _pairs_tomb(t, wid, fw, wide)
         t2, hit = _apply_tomb(t, keys, live, d, acc, cx, cy, zs, kb)
         aff = _affected_positions(t, wid, hit)
         cs = jnp.cumsum(aff.astype(jnp.int32))
@@ -203,7 +201,7 @@ def train_rounds_sparse(
                 pos, validj = _gather_affected(cs, dcap)
                 posc = jnp.minimum(pos, t2.shape[0] - 1)
                 # old side: gather from the pre-apply pair arrays
-                ko = jnp.where(validj, keys[posc], PADKEY)
+                ko = tuple(jnp.where(validj, k[posc], PADKEY) for k in keys)
                 wo = jnp.where(validj, w[posc], 0)
                 # new side: recount the gathered mini-stream (affected
                 # words arrive whole and in order, so pair/run semantics
@@ -211,8 +209,8 @@ def train_rounds_sparse(
                 tt = jnp.where(validj, t2[posc], PAD)
                 twid = jnp.where(validj, wid[posc], -1)
                 tfw = jnp.where(validj, fw[posc], 0)
-                kn, wn, _, _ = _pairs_tomb(tt, twid, tfw)
-                dkeys = jnp.concatenate([tk, ko, kn])
+                kn, wn, _, _ = _pairs_tomb(tt, twid, tfw, wide)
+                dkeys = _concat_keys(_concat_keys(tk, ko), kn)
                 dvals = jnp.concatenate([tc, -wo, wn])
                 return _reduce_by_key(dkeys, dvals, pcap)
 
@@ -220,7 +218,7 @@ def train_rounds_sparse(
 
         def recount(args):
             t2, fw, keys, w, cs, tk, tc = args
-            kf, wf, _, _ = _pairs_tomb(t2, wid, fw)
+            kf, wf, _, _ = _pairs_tomb(t2, wid, fw, wide)
             return _reduce_by_key(kf, wf, pcap)
 
         args = (t2, fw, keys, w, cs, tk, tc)
@@ -297,12 +295,16 @@ def run_training_sparse(
     dcap1 = int(os.environ.get("YTTM_TRAIN_DCAP1", "0")) or _next_pow2(
         max(dcap0 * 2, m >> 3)
     )
+    wide = vocab_size > 65535
     uk, uc = host_count_table(t, wid, freq)
     n_live = uk.size
-    pcap = int(os.environ.get("YTTM_TRAIN_PCAP", "0")) or _pcap_budget(
-        n_live, vocab_size - used_ids0
+    # live pair kinds can never exceed the number of stream positions,
+    # so the merge-count budget is capped at next_pow2(M) (a huge
+    # vocab_size on a small corpus must not inflate the table)
+    pcap = int(os.environ.get("YTTM_TRAIN_PCAP", "0")) or min(
+        _pcap_budget(n_live, vocab_size - used_ids0), _next_pow2(m)
     )
-    tk, tc = _fit_table(uk, uc, pcap)
+    tk, tc = _fit_table(uk, uc, pcap, wide)
 
     seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)
     t_start = time.time()
@@ -320,7 +322,7 @@ def run_training_sparse(
             uk, uc = _host_table_tomb(np.asarray(td), np.asarray(wd), np.asarray(fd))
             while pcap < uk.size:
                 pcap *= 2
-            tk, tc = _fit_table(uk, uc, pcap)
+            tk, tc = _fit_table(uk, uc, pcap, wide)
             continue
         if progress_every:
             n_merges = used - used_ids0

@@ -52,6 +52,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.train_delta import (
     PADKEY,
     _affected_positions,
+    _concat_keys,
     _fit_table,
     _next_pow2,
     _pcap_budget,
@@ -88,6 +89,7 @@ def _train_sparse_sharded(
 ):
     mesh = mesh_ref.mesh
     kb = batch_k
+    wide = vocab_size > 65535
 
     def run(t, wid, freq, tk, tc, used, rules, used0, limit):
         fw0 = freq[jnp.maximum(wid, 0)] * (wid >= 0)
@@ -107,7 +109,7 @@ def _train_sparse_sharded(
             done = n_acc == 0
 
             # shard-local tombstone apply + bounded delta extraction
-            keys, w, live, d = _pairs_tomb(t, wid, fw)
+            keys, w, live, d = _pairs_tomb(t, wid, fw, wide)
             t2, hit = _apply_tomb(t, keys, live, d, acc, cx, cy, zs, kb)
             aff = _affected_positions(t, wid, hit)
             cs = jnp.cumsum(aff.astype(jnp.int32))
@@ -126,20 +128,22 @@ def _train_sparse_sharded(
                 t2, fw, keys, w, cs, tk, tc = args
                 pos, validj = _gather_affected(cs, dcap)
                 posc = jnp.minimum(pos, t2.shape[0] - 1)
-                ko = jnp.where(validj, keys[posc], PADKEY)
+                ko = tuple(jnp.where(validj, k[posc], PADKEY) for k in keys)
                 wo = jnp.where(validj, w[posc], 0)
                 tt = jnp.where(validj, t2[posc], PAD)
                 twid = jnp.where(validj, wid[posc], -1)
                 tfw = jnp.where(validj, fw[posc], 0)
-                kn, wn, _, _ = _pairs_tomb(tt, twid, tfw)
-                dkeys = jnp.concatenate([ko, kn])
+                kn, wn, _, _ = _pairs_tomb(tt, twid, tfw, wide)
+                dkeys = _concat_keys(ko, kn)
                 dvals = jnp.concatenate([-wo, wn])
                 # exchange ONLY the bounded [2*dcap] buffers; every
                 # device folds the identical concatenation
-                gk = lax.all_gather(dkeys, DATA_AXIS, tiled=True)
+                gk = tuple(
+                    lax.all_gather(k, DATA_AXIS, tiled=True) for k in dkeys
+                )
                 gv = lax.all_gather(dvals, DATA_AXIS, tiled=True)
                 return _reduce_by_key(
-                    jnp.concatenate([tk, gk]), jnp.concatenate([tc, gv]), pcap
+                    _concat_keys(tk, gk), jnp.concatenate([tc, gv]), pcap
                 )
 
             def recount_fold(args):
@@ -148,9 +152,11 @@ def _train_sparse_sharded(
                 # local kinds are a subset of the global table's kinds,
                 # so n_local <= n_global <= pcap — nothing is truncated.
                 # Local tables sum to the exact global table.
-                kf, wf, _, _ = _pairs_tomb(t2, wid, fw)
+                kf, wf, _, _ = _pairs_tomb(t2, wid, fw, wide)
                 lk, lc, _ = _reduce_by_key(kf, wf, pcap)
-                gk = lax.all_gather(lk, DATA_AXIS, tiled=True)
+                gk = tuple(
+                    lax.all_gather(k, DATA_AXIS, tiled=True) for k in lk
+                )
                 gv = lax.all_gather(lc, DATA_AXIS, tiled=True)
                 return _reduce_by_key(gk, gv, pcap)
 
@@ -255,10 +261,12 @@ def run_training_sparse_sharded(
         used = used_ids0
     seg_t, seg_w, per = _shard_stream(t, wid, n_dev)
 
+    wide = vocab_size > 65535
     uk, uc = _host_table_tomb(t, wid, freq)
     n_live = uk.size
-    pcap = int(os.environ.get("YTTM_TRAIN_PCAP", "0")) or _pcap_budget(
-        n_live, vocab_size - used
+    pcap = int(os.environ.get("YTTM_TRAIN_PCAP", "0")) or min(
+        _pcap_budget(n_live, vocab_size - used),
+        _next_pow2(int((np.asarray(wid) >= 0).sum()) or 1),
     )
     # dcap sizes the per-round delta exchange only (the recount branch
     # has its own [pcap] buffers), so it tracks the typical per-round
@@ -266,7 +274,7 @@ def run_training_sparse_sharded(
     dcap = int(os.environ.get("YTTM_TRAIN_DCAP", "0")) or _next_pow2(
         min(max(1 << 12, per >> 6), 1 << 17)
     )
-    tk, tc = _fit_table(uk, uc, pcap)
+    tk, tc = _fit_table(uk, uc, pcap, wide)
 
     def shard_put(seg_t, seg_w):
         td = jax.device_put(
@@ -280,8 +288,8 @@ def run_training_sparse_sharded(
     td, wd = shard_put(seg_t, seg_w)
     rep = NamedSharding(mesh, P())
     fd = jax.device_put(jnp.asarray(freq), rep)
-    tkd = jax.device_put(jnp.asarray(tk), rep)
-    tcd = jax.device_put(jnp.asarray(tc), rep)
+    tkd = jax.device_put(tk, rep)
+    tcd = jax.device_put(tc, rep)
     rules_d = jax.device_put(jnp.asarray(rules, jnp.int32), rep)
     u0 = jax.device_put(jnp.asarray(used_ids0, jnp.int32), rep)
 
@@ -315,9 +323,9 @@ def run_training_sparse_sharded(
             )
             while pcap < uk.size:
                 pcap *= 2
-            tk, tc = _fit_table(uk, uc, pcap)
-            tkd = jax.device_put(jnp.asarray(tk), rep)
-            tcd = jax.device_put(jnp.asarray(tc), rep)
+            tk, tc = _fit_table(uk, uc, pcap, wide)
+            tkd = jax.device_put(tk, rep)
+            tcd = jax.device_put(tc, rep)
             continue
         if progress_every:
             n_merges = used - used_ids0

@@ -89,8 +89,10 @@ def train_from_codepoints(
     # impl selection: "sparse" = site-local tombstone trainer (v3,
     # default; no full-stream sorts per round), "delta" = incremental
     # count table with sort-compacted apply (v2), "stream" = full
-    # recount per round (v1, any vocab size).  The packed uint32 pair
-    # keys of v2/v3 need vocab < 65536.
+    # recount per round (v1).  All three serve any vocab size: pair
+    # keys are packed uint32 below vocab 65536 and two-component
+    # (lexicographic-sorted) above (train_delta key layout), matching
+    # the reference's unlimited vocab.
     impl = os.environ.get("YTTM_TRAIN_IMPL", "sparse")
     kwargs = dict(
         batch_k=int(os.environ.get("YTTM_TRAIN_BATCH_K", "16")),
@@ -99,14 +101,14 @@ def train_from_codepoints(
         checkpoint_every=int(os.environ.get("YTTM_TRAIN_CHECKPOINT_EVERY", "0")),
         resume_path=os.environ.get("YTTM_TRAIN_RESUME") or None,
     )
-    mesh = _training_mesh(buckets) if impl == "sparse" and vocab_size < 65536 else None
+    mesh = _training_mesh(buckets) if impl == "sparse" else None
     if mesh is not None:
         rules = run_training_sparse_sharded(
             buckets, used_ids0, vocab_size, mesh, **kwargs
         )
-    elif impl == "sparse" and vocab_size < 65536:
+    elif impl == "sparse":
         rules = run_training_sparse(buckets, used_ids0, vocab_size, **kwargs)
-    elif impl == "delta" and vocab_size < 65536:
+    elif impl == "delta":
         rules = run_training_delta(buckets, used_ids0, vocab_size, **kwargs)
     else:
         rules = run_training_stream(buckets, used_ids0, vocab_size, **kwargs)
