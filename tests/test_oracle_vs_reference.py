@@ -6,6 +6,7 @@ seeded run-heavy random text over a tiny alphabet, random vocab size and
 coverage, assert identical trained models and identical encodings.
 """
 
+import os
 import random
 
 import pytest
@@ -122,3 +123,41 @@ def test_vocab_matches_reference(tmp_path):
 
     vocab = Vocabulary(BPEState.load(str(ref_model)))
     assert vocab.vocabulary() == ref_vocab
+
+
+def test_zero_id_head_emission_quirk(tmp_path):
+    """When custom special ids leave id 0 unclaimed, ▁ gets id 0 and the
+    reference's emission scan (find_if token_id != 0, bpe.cpp:1591-1593)
+    silently drops an unmerged word-leading ▁ — e.g. before an
+    unknown-char run.  Both the oracle and the production Encoder must
+    reproduce this."""
+    rng = random.Random(1000)
+    train_text = generate_text(rng, 700, "abc ")
+    data = tmp_path / "train.txt"
+    data.write_text(train_text)
+    ref_model = tmp_path / "ref.yttm"
+    # pad=15 unk=5 bos=1 eos=13: no special claims id 0 -> ▁ gets 0
+    ref_train(data, ref_model, 52, pad=15, unk=5, bos=1, eos=13)
+    cfg = BpeConfig(1.0, 1, SpecialTokens(15, 5, 1, 13))
+    mine = oracle_train(str(data), None, 52, cfg)
+    ref = BPEState.load(str(ref_model))
+    assert mine.char2id == ref.char2id
+    assert [tuple(r) for r in mine.rules] == [tuple(r) for r in ref.rules]
+    assert mine.char2id[ord("▁")] == 0  # the quirk precondition
+
+    sentences = ["zca zc z c a", "ac cc", "zzz", "", "a z za az"]
+    want = ref_encode(ref_model, sentences, "id")
+    enc = OracleEncoder(mine)
+    assert enc.encode(sentences, "id") == want
+    assert enc.encode(sentences, "subword") == ref_encode(
+        ref_model, sentences, "subword"
+    )
+
+    from youtokentome_tpu.encoder import Encoder
+
+    for backend in ("native", "stream", "matrix"):
+        os.environ["YTTM_ENCODE_BACKEND"] = backend
+        try:
+            assert Encoder(mine).encode(sentences, "id") == want, backend
+        finally:
+            os.environ.pop("YTTM_ENCODE_BACKEND", None)

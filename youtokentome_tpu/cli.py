@@ -106,6 +106,11 @@ def encode(model, output_type, n_threads, bos, eos, reverse, stream, dropout_pro
         from .host.fastio import format_ids
 
         use_native = fasttok.available()
+        if not use_native and enc._zero_is_real:
+            # the stream fallback cannot apply the reference's id-0
+            # head-emission quirk (encoder.py) — take the batch path
+            fast = False
+    if fast:
         stdin = sys.stdin.buffer
         stdout = sys.stdout.buffer
         leftover = b""

@@ -76,6 +76,16 @@ class Encoder:
             count=sorted_cps.size,
         )
         self.space_id = state.char2id[SPACE_TOKEN]
+        # reference emission quirk (bpe.cpp:1591-1593): per-word output
+        # starts at the first token with id != 0, so when id 0 belongs
+        # to a REAL token (custom special ids all >= 1 leave id 0 to ▁),
+        # an unmerged word-leading ▁ is dropped.  We reproduce it for
+        # bit-exactness; the flag gates the strip and disables the
+        # stream fast path (which has no per-word emission step).
+        st0 = state.special_tokens
+        self._zero_is_real = 0 not in (
+            st0.pad_id, st0.unk_id, st0.bos_id, st0.eos_id
+        )
         self._cache: Dict[bytes, np.ndarray] = {}
         self._cache_size = cache_size
         self._stream = StreamEncoder(
@@ -248,7 +258,28 @@ class Encoder:
         flat = (
             np.concatenate(results) if dd.n_unique else np.zeros(0, dtype=np.int64)
         )
+        if self._zero_is_real:
+            flat, offsets = self._strip_zero_heads(flat, offsets)
         return flat, offsets
+
+    @staticmethod
+    def _strip_zero_heads(flat: np.ndarray, offsets: np.ndarray):
+        """Drop each word's leading token when its id is 0 (the
+        reference's find_if emission skip, bpe.cpp:1591-1593).  Two
+        distinct real tokens can't both have id 0, so at most one
+        leading token goes per word."""
+        lens = np.diff(offsets)
+        heads = offsets[:-1]
+        ne = lens > 0
+        dropw = np.zeros(lens.shape, bool)
+        dropw[ne] = flat[heads[ne]] == 0
+        if not dropw.any():
+            return flat, offsets
+        keep = np.ones(flat.size, bool)
+        keep[heads[dropw]] = False
+        new_off = np.zeros_like(offsets)
+        np.cumsum(lens - dropw, out=new_off[1:])
+        return flat[keep], new_off
 
     def _maybe_cache(self, raw_row: np.ndarray, ids: np.ndarray) -> None:
         if len(self._cache) >= self._cache_size:
@@ -316,7 +347,10 @@ class Encoder:
                     return self._encode_ids_native(
                         joined.encode("utf-8"), n_sent, bos, eos, reverse
                     )
-                if backend in ("native", "stream"):
+                if backend in ("native", "stream") and not self._zero_is_real:
+                    # the flat stream pipeline has no per-word emission
+                    # step to apply the id-0 head quirk; such (exotic)
+                    # models take the matrix path below
                     return self._encode_ids_stream(joined, n_sent, bos, eos, reverse)
 
         arrs = [
@@ -468,6 +502,10 @@ class Encoder:
             results_flat[dst] = out[mask]
         for u, r in monster_res.items():
             results_flat[res_off[u] : res_off[u + 1]] = r
+        if self._zero_is_real:
+            results_flat, res_off = self._strip_zero_heads(
+                results_flat, res_off
+            )
         return results_flat, res_off.astype(np.int32)
 
     def _tokenize_native(self, data: bytes):

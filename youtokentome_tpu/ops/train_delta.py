@@ -324,10 +324,10 @@ def _pcap_budget(n_live0: int, merges: int) -> int:
 
     Existing pair kinds only shrink (a merge (x,y)->z removes (l,x),
     (x,y), (y,r) occurrences); growth comes from the new kinds (l,z)
-    and (z,r).  Measured on Zipf text (PROFILE.md): ~47 new kinds per
-    merge for the first ~1k merges, decaying under 10 afterwards
-    (2 MB / vocab 5000: max 46.3k live kinds).  Budget 48/merge early
-    and 16/merge late — >2x the measured max before the pow2 rounding.
+    and (z,r).  Measured on Zipf text (PROFILE.md §3, 2 MB / vocab
+    5000): ~26 net new kinds per merge over the first ~1k merges,
+    under 10 after ~2k, plateau ~46.2k live kinds.  Budget 48/merge
+    early and 16/merge late — >2x the measured growth at every point.
     """
     early = 48 * min(max(merges, 0), 1000)
     late = 16 * max(merges - 1000, 0)

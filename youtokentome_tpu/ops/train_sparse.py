@@ -327,9 +327,11 @@ def run_training_sparse(
         if progress_every:
             n_merges = used - used_ids0
             dt = time.time() - t_start
+            kinds = int((np.asarray(tk[0]) != 0xFFFFFFFF).sum())
             print(
                 f"id: {used}/{vocab_size}  merges: {n_merges}  "
-                f"({dt:.1f}s, {n_merges / max(dt, 1e-9):.0f} merges/s)",
+                f"({dt:.1f}s, {n_merges / max(dt, 1e-9):.0f} merges/s, "
+                f"{kinds} live pair kinds / pcap {pcap})",
                 file=sys.stderr,
             )
         if checkpoint_path and checkpoint_every and used < vocab_size:

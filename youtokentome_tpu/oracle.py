@@ -347,6 +347,14 @@ class OracleEncoder:
                     new_token_cur += 1
                     i = j
             merged = self.encode_word(word)
+            # reference emission quirk (bpe.cpp:1591-1593): output starts
+            # at the first node with token_id != 0, so when id 0 belongs
+            # to a real token (possible under custom special ids that
+            # leave id 0 unclaimed — then ▁ gets it), an unmerged
+            # word-leading ▁ is silently dropped.  Bit-exactness means
+            # reproducing it.
+            while merged and merged[0] == 0:
+                merged = merged[1:]
             for t in merged:
                 if t >= NEW_TOKEN_START:
                     if output_type == "id":
