@@ -185,7 +185,7 @@ def train_rounds_sparse(
     def body(state):
         (t, fw), (tk, tc), rules, used, _, _ = state
         xs, ys = _unpack_key(tk)
-        cc, cx, cy = _topk_candidates(tc, xs, ys, kb)
+        cc, cx, cy = _topk_candidates(tc, xs, ys, kb, narrow=not wide)
         acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, kb)
         done = n_acc == 0
 

@@ -182,12 +182,30 @@ def store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size):
     )
 
 
-def _topk_candidates(cnt, xs, ys, k):
+def _topk_candidates(cnt, xs, ys, k, narrow: bool = False):
     """Top-k candidates in the reference tie-break order via one sort:
-    ascending (-count, max, min, -x)."""
+    ascending (-count, max, min, -x).
+
+    With ``narrow`` (all ids < 65536) the (max, min) tie-break packs
+    into one uint32 key and (x, y) into one payload, turning the
+    7-operand 4-key sort into a 5-operand 3-key one — ~20% off the
+    per-round candidate-selection cost, bit-identical order (PROFILE.md
+    §3: this sort is one of the two per-round hot spots)."""
+    key1 = jnp.where(cnt > 0, -cnt, BIG)
+    if narrow:
+        mx = jnp.maximum(xs, ys).astype(jnp.uint32)
+        mn = jnp.minimum(xs, ys).astype(jnp.uint32)
+        key2 = (mx << 16) | mn  # (max asc, min asc) lexicographic
+        key3 = jnp.where(cnt > 0, -xs, BIG)  # larger left token wins
+        xy = (xs.astype(jnp.uint32) << 16) | (ys.astype(jnp.uint32) & 0xFFFF)
+        _, _, _, xy_s, cc = lax.sort(
+            (key1, key2, key3, xy, cnt), num_keys=3
+        )
+        cx = (xy_s >> 16).astype(jnp.int32)[:k]
+        cy = (xy_s & 0xFFFF).astype(jnp.int32)[:k]
+        return cc[:k], cx, cy
     mx = jnp.maximum(xs, ys)
     mn = jnp.minimum(xs, ys)
-    key1 = jnp.where(cnt > 0, -cnt, BIG)
     key2 = jnp.where(cnt > 0, mx, BIG)
     key3 = jnp.where(cnt > 0, mn, BIG)
     key4 = jnp.where(cnt > 0, -xs, BIG)
@@ -248,7 +266,7 @@ def train_rounds_resumable(
         (t, wid), rules, used, _ = state[0], state[1], state[2], state[3]
         kx, ky, w = pair_keys_and_weights(t, wid, freq)
         cnt, xs, ys = _segment_counts_flat(kx, ky, w, pack16=vocab_size < 65536)
-        cc, cx, cy = _topk_candidates(cnt, xs, ys, kb)
+        cc, cx, cy = _topk_candidates(cnt, xs, ys, kb, narrow=vocab_size < 65536)
         acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, kb)
         done = n_acc == 0
         t2, w2 = apply_accepted(t, wid, acc, cx, cy, zs)

@@ -104,7 +104,7 @@ def _train_sparse_sharded(
             (t, fw), (tk, tc), rules, used, _, _, nrec = state
             # replicated candidate selection (identical on every device)
             xs, ys = _unpack_key(tk)
-            cc, cx, cy = _topk_candidates(tc, xs, ys, kb)
+            cc, cx, cy = _topk_candidates(tc, xs, ys, kb, narrow=not wide)
             acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, kb)
             done = n_acc == 0
 
