@@ -121,11 +121,12 @@ def measure_cli(enc_factory, data, reps):
     for _ in range(reps):
         # fresh Encoder per rep: cold word cache (cross-batch caching
         # within one file is the real CLI scenario; rep-to-rep reuse of
-        # the same corpus is not)
+        # the same corpus is not).  encode_stream_cli is the pipelined
+        # path the CLI batch loop drives.
         enc_rep = enc_factory()
         t0 = time.time()
-        for chunk in cli_chunks(data):
-            enc_rep.encode_text_cli(chunk)
+        for out in enc_rep.encode_stream_cli(cli_chunks(data)):
+            pass
         dt = time.time() - t0
         vals.append(nbytes / 1e6 / dt)
         log(f"  cli-path: {nbytes/1e6:.1f}MB in {dt:.2f}s -> {vals[-1]:.1f} MB/s")

@@ -111,3 +111,39 @@ def test_backend_newline_embedded_sentences(model, monkeypatch):
         monkeypatch.setenv("YTTM_ENCODE_BACKEND", backend)
         enc = Encoder(model)
         assert enc.encode(s, "id") == want
+
+
+def test_encode_stream_cli_pipelined_matches_sequential(model):
+    """The pipelined chunked CLI path (tokenize k+1 overlapping merge k)
+    must produce exactly the concatenation of per-chunk
+    encode_text_cli outputs."""
+    from youtokentome_tpu.encoder import Encoder
+
+    state = model
+    sentences = _sentences(9, 40)
+    blob = ("\n".join(sentences) + "\n").encode()
+    # small chunks to force several pipeline stages
+    chunks = []
+    start = 0
+    while start < len(blob):
+        end = min(start + 97, len(blob))
+        nl = blob.rfind(b"\n", start, end)
+        end = nl + 1 if nl >= start and end < len(blob) else end
+        chunks.append(blob[start:end])
+        start = end
+
+    seq = b"".join(Encoder(state).encode_text_cli(c) for c in chunks)
+    piped = b"".join(Encoder(state).encode_stream_cli(iter(chunks)))
+    assert piped == seq
+
+    # tiny word-cache cap: eviction mid-stream must stay correct
+    enc3 = Encoder(state)
+    enc3._wcache = None
+    import os
+
+    os.environ["YTTM_WORD_CACHE"] = "8"
+    try:
+        evicted = b"".join(enc3.encode_stream_cli(iter(chunks)))
+    finally:
+        os.environ.pop("YTTM_WORD_CACHE", None)
+    assert evicted == seq

@@ -72,8 +72,11 @@ def test_stress_device_vs_reference(tmp_path):
         alphabet = ALPHABETS[it % len(ALPHABETS)]
         text = generate_text(rng, rng.randint(200, 900), alphabet)
         n_chars = len(set(text) | {" "})
-        # quantize so jit programs are shared across iterations
-        vocab = min(16 * rng.randint(2, 6) + n_chars - n_chars % 4, 120)
+        # vocab_size is a static jit argument: draw from a SMALL fixed
+        # set so programs are shared across iterations (XLA's CPU
+        # compiler has crashed under hundreds of distinct compilations
+        # in one process; fewer shapes is also simply faster)
+        vocab = 16 * rng.randint(3, 7)
         coverage = 1.0 if rng.randrange(3) == 0 else 1 - rng.random() * 0.4
         # random special-id arrangement (the reference renames ids,
         # bpe.cpp:814-837); keep them distinct and inside the vocab

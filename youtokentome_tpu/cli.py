@@ -113,36 +113,57 @@ def encode(model, output_type, n_threads, bos, eos, reverse, stream, dropout_pro
     if fast:
         stdin = sys.stdin.buffer
         stdout = sys.stdout.buffer
-        leftover = b""
-        while True:
-            buf = stdin.read(batch_limit)
-            at_eof = len(buf) < batch_limit
-            if not buf and not leftover:
-                break
-            buf = leftover + buf
+
+        def read_chunks():
             leftover = b""
-            if not buf.endswith(b"\n"):
-                while not at_eof and b"\n" not in buf:
-                    more = stdin.read(batch_limit)
-                    at_eof = len(more) < batch_limit
-                    buf += more
-                nl = buf.rfind(b"\n")
-                if nl >= 0 and not at_eof:
-                    leftover = buf[nl + 1 :]
-                    buf = buf[: nl + 1]
-                elif not buf.endswith(b"\n"):
-                    buf += b"\n"  # final unterminated line
-            if use_native:
-                stdout.write(enc.encode_text_cli(buf))
-            else:
+            while True:
+                buf = stdin.read(batch_limit)
+                at_eof = len(buf) < batch_limit
+                if not buf and not leftover:
+                    return
+                buf = leftover + buf
+                leftover = b""
+                if not buf.endswith(b"\n"):
+                    while not at_eof and b"\n" not in buf:
+                        more = stdin.read(batch_limit)
+                        at_eof = len(more) < batch_limit
+                        buf += more
+                    nl = buf.rfind(b"\n")
+                    if nl >= 0 and not at_eof:
+                        leftover = buf[nl + 1 :]
+                        buf = buf[: nl + 1]
+                    elif not buf.endswith(b"\n"):
+                        buf += b"\n"  # final unterminated line
+                yield buf
+                if at_eof and not leftover:
+                    return
+
+        if use_native:
+            # pipelined: tokenize of chunk k+1 overlaps the device
+            # merge of chunk k (Encoder.encode_stream_cli)
+            from collections import deque
+
+            sizes = deque()
+
+            def counted():
+                for buf in read_chunks():
+                    sizes.append(len(buf))
+                    yield buf
+
+            for out in enc.encode_stream_cli(counted()):
+                stdout.write(out)
+                total += sizes.popleft()
+                sys.stderr.write("\b" * len(progress_msg))
+                progress_msg = f"bytes processed: {total}"
+                sys.stderr.write(progress_msg)
+        else:
+            for buf in read_chunks():
                 flat, sentinel = enc.encode_bytes_flat(buf)
                 stdout.write(format_ids(flat, sentinel))
-            total += len(buf)
-            sys.stderr.write("\b" * len(progress_msg))
-            progress_msg = f"bytes processed: {total}"
-            sys.stderr.write(progress_msg)
-            if at_eof and not leftover:
-                break
+                total += len(buf)
+                sys.stderr.write("\b" * len(progress_msg))
+                progress_msg = f"bytes processed: {total}"
+                sys.stderr.write(progress_msg)
         stdout.flush()
         sys.stderr.write("\n")
         return

@@ -444,14 +444,15 @@ class Encoder:
 
     # -- native (C++ host tokenizer + device merge) fast path --------------
 
-    def _merge_unique_words(self, words_flat: np.ndarray, word_off: np.ndarray):
-        """Device-encode each unique word; returns (results_flat,
-        res_off [U+1]) in uid order."""
+    def _merge_dispatch(self, words_flat: np.ndarray, word_off: np.ndarray):
+        """Stage 1 of unique-word merging: pack length buckets and
+        async-dispatch every device chunk.  Returns opaque state for
+        ``_merge_collect`` — between the two calls the device works
+        while the host is free (the CLI stream loop tokenizes the next
+        chunk there, PROFILE.md §1)."""
         n_uniq = word_off.size - 1
         lengths = np.diff(word_off).astype(np.int64)
         res_lens = np.zeros(n_uniq, np.int64)
-        # dispatch every bucket chunk asynchronously before collecting any
-        # result: hides per-call device latency
         pending = []
         prev_cap = 1
         for cap in ENCODE_BUCKETS:
@@ -474,12 +475,8 @@ class Encoder:
                 for c0 in range(0, kp, DEVICE_BATCH)
             ]
             pending.append((sel, futs))
-        parts = []
-        for sel, futs in pending:
-            out = np.concatenate([np.asarray(f) for f in futs], axis=0)[: sel.size]
-            mask = out >= 0
-            res_lens[sel] = mask.sum(axis=1)
-            parts.append((sel, out, mask))
+        # monster words (beyond the largest bucket) merge on the host —
+        # rare, and it overlaps the in-flight device work
         monsters = np.nonzero(lengths > ENCODE_BUCKETS[-1])[0]
         monster_res = {}
         for u in monsters:
@@ -487,6 +484,18 @@ class Encoder:
             r = self._host_merge(w)
             monster_res[int(u)] = np.asarray(r, np.int32)
             res_lens[u] = len(r)
+        return pending, monster_res, res_lens, n_uniq
+
+    def _merge_collect(self, st):
+        """Stage 2: block on the device results and assemble the ragged
+        (results_flat, res_off) in uid order."""
+        pending, monster_res, res_lens, n_uniq = st
+        parts = []
+        for sel, futs in pending:
+            out = np.concatenate([np.asarray(f) for f in futs], axis=0)[: sel.size]
+            mask = out >= 0
+            res_lens[sel] = mask.sum(axis=1)
+            parts.append((sel, out, mask))
 
         res_off = np.zeros(n_uniq + 1, np.int64)
         np.cumsum(res_lens, out=res_off[1:])
@@ -507,6 +516,11 @@ class Encoder:
                 results_flat, res_off
             )
         return results_flat, res_off.astype(np.int32)
+
+    def _merge_unique_words(self, words_flat: np.ndarray, word_off: np.ndarray):
+        """Device-encode each unique word; returns (results_flat,
+        res_off [U+1]) in uid order."""
+        return self._merge_collect(self._merge_dispatch(words_flat, word_off))
 
     def _tokenize_native(self, data: bytes):
         return fasttok.tokenize(
@@ -534,6 +548,48 @@ class Encoder:
         C++ expand from the persistent result cache."""
         wc, occ = self._tokenize_cached(data)
         return wc.format(occ)
+
+    def encode_stream_cli(self, chunks):
+        """Pipelined CLI path over an iterable of newline-terminated byte
+        chunks: the host tokenize of chunk k+1 runs while the device
+        merges chunk k's novel words (the dispatch/collect split —
+        PROFILE.md §1; the reference overlaps nothing, its workers are
+        the host).  Yields one formatted output bytes per input chunk,
+        in order."""
+        unk = self.state.special_tokens.unk_id
+        wc = self._word_cache()
+        pending = None  # (dispatch_state, occ, base) of the previous chunk
+
+        def finish(p):
+            st, occ, base = p
+            if st is not None:
+                rf, ro = self._merge_collect(st)
+                rf = np.where(rf >= PLACEHOLDER_START, unk, rf)
+                wc.add_results(rf, ro, base)
+            return wc.format(occ)
+
+        for chunk in chunks:
+            # an eviction would invalidate the pending chunk's uids:
+            # flush it first, then let tokenize's own check fire
+            if pending is not None and wc.n_words > wc.max_words:
+                yield finish(pending)
+                pending = None
+            words_flat, word_off, occ, base = wc.tokenize(
+                chunk, self._sorted_cps, self._sorted_ids, self.space_id
+            )
+            # queue chunk k+1's device work before blocking on chunk k's
+            # results: the device stream never drains
+            st = (
+                self._merge_dispatch(words_flat, word_off)
+                if word_off.size > 1
+                else None
+            )
+            out = finish(pending) if pending is not None else None
+            pending = (st, occ, base)
+            if out is not None:
+                yield out
+        if pending is not None:
+            yield finish(pending)
 
     def _encode_ids_native(
         self, data: bytes, n_sent: int, bos: bool, eos: bool, reverse: bool
