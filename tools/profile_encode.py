@@ -15,7 +15,9 @@ and prints a per-stage time table:
 
 Usage: python tools/profile_encode.py [MB] [VOCAB]
 (defaults 40 and 5000; runs on whatever platform jax picks — set
-JAX_PLATFORMS=cpu to force CPU).
+JAX_PLATFORMS=cpu to force CPU).  Set YTTM_TRACE_DIR=/path to also
+capture a jax.profiler trace of the measured CLI pass (open with
+tensorboard / xprof).
 """
 
 import os
@@ -59,6 +61,12 @@ def profile(target_mb: int, vocab_size: int):
 
     stages = {"tokenize": 0.0, "merge": 0.0, "register": 0.0, "format": 0.0}
     unk = state.special_tokens.unk_id
+    trace_dir = os.environ.get("YTTM_TRACE_DIR")
+    trace_ctx = (
+        jax.profiler.trace(trace_dir) if trace_dir else None
+    )
+    if trace_ctx:
+        trace_ctx.__enter__()
     t_all = time.time()
     out_bytes = 0
     for chunk in cli_chunks(data):
@@ -80,6 +88,9 @@ def profile(target_mb: int, vocab_size: int):
         out_bytes += len(wc.format(occ))
         stages["format"] += time.time() - t0
     cli_total = time.time() - t_all
+    if trace_ctx:
+        trace_ctx.__exit__(None, None, None)
+        print(f"jax.profiler trace written to {trace_dir}", file=sys.stderr)
 
     print(f"\n== cli path: {nbytes/1e6:.1f} MB in {cli_total:.2f}s "
           f"({nbytes/1e6/cli_total:.1f} MB/s), {out_bytes/1e6:.1f} MB out ==")
