@@ -76,9 +76,8 @@ def test_encode_device_count_invariance(corpus):
 
 
 def test_sparse_train_device_count_invariance(corpus):
-    """The PRODUCTION trainer (v3 sparse, the default impl) must be
-    bit-identical at 1/2/8 devices — this is the path dryrun_multichip
-    certifies."""
+    """The v3 sparse sharded trainer (YTTM_TRAIN_IMPL=sparse) must be
+    bit-identical at 1/2/8 devices."""
     from youtokentome_tpu.ops.train_sparse import run_training_sparse
     from youtokentome_tpu.parallel.train_sparse_sharded import (
         run_training_sparse_sharded,
@@ -88,6 +87,22 @@ def test_sparse_train_device_count_invariance(corpus):
     single = run_training_sparse(buckets, used0, 30)
     for n in (1, 2, 8):
         sharded = run_training_sparse_sharded(buckets, used0, 30, data_mesh(n))
+        assert sharded == single, f"mismatch at n_devices={n}"
+
+
+def test_delta_train_device_count_invariance(corpus):
+    """The PRODUCTION trainer (v2 delta, the auto multi-device impl)
+    must be bit-identical at 1/2/8 devices — this is the path
+    dryrun_multichip certifies."""
+    from youtokentome_tpu.ops.train_delta import run_training_delta
+    from youtokentome_tpu.parallel.train_delta_sharded import (
+        run_training_delta_sharded,
+    )
+
+    _, _, buckets, used0 = corpus
+    single = run_training_delta(buckets, used0, 30)
+    for n in (1, 2, 8):
+        sharded = run_training_delta_sharded(buckets, used0, 30, data_mesh(n))
         assert sharded == single, f"mismatch at n_devices={n}"
 
 
@@ -106,13 +121,13 @@ def test_production_train_dispatch_sharded(corpus, monkeypatch):
     import youtokentome_tpu.train as train_mod
 
     called = {}
-    orig = train_mod.run_training_sparse_sharded
+    orig = train_mod.run_training_delta_sharded
 
     def spy(buckets, used0, vs, mesh, **kw):
         called["n_dev"] = mesh.devices.size
         return orig(buckets, used0, vs, mesh, **kw)
 
-    monkeypatch.setattr(train_mod, "run_training_sparse_sharded", spy)
+    monkeypatch.setattr(train_mod, "run_training_delta_sharded", spy)
     sharded_state = train_from_codepoints(cps, 30, cfg)
     assert called.get("n_dev") == 8  # all virtual devices used by default
 

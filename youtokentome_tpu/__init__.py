@@ -22,6 +22,28 @@ if _plat:
     except Exception:
         pass
 
+# Honor JAX_COMPILATION_CACHE_DIR explicitly: this jax build does NOT
+# read the env var into jax_compilation_cache_dir, so every process
+# recompiled the (50-280 s on remote-compile toolchains) training
+# program from scratch — the source of the round-3 "93 s warm start"
+# and the 10x BENCH_r03 train outlier.  Applying it via config.update
+# makes the persistent cache actually engage; a second process then
+# deserializes the executable in seconds.  The default engages the
+# cache even when the env var is unset (opt out: YTTM_JAX_CACHE=0).
+_cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+if _os.environ.get("YTTM_JAX_CACHE", "1") != "0":
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _cache_dir or "/tmp/jax_cache_yttm",
+            )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from .api import BPE, OutputType
 
 __all__ = ["BPE", "OutputType"]

@@ -60,7 +60,7 @@ def _compact(keep: jnp.ndarray, arrays, fill=PAD):
     the fused bitonic sort network this compiles to)."""
     n = keep.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(keep, idx, jnp.int32(0x7FFFFFFF))
+    key = jnp.where(keep, idx, np.int32(0x7FFFFFFF))
     sorted_ = lax.sort((key,) + tuple(arrays), num_keys=1)[1:]
     n_keep = jnp.sum(keep.astype(jnp.int32))
     live = idx < n_keep
@@ -230,10 +230,10 @@ def _build_stream(
 
 
 def _mix32(x: jnp.ndarray, c1: int, c2: int) -> jnp.ndarray:
-    h = x.astype(jnp.uint32) * jnp.uint32(c1)
-    h = h ^ (h >> jnp.uint32(15))
-    h = h * jnp.uint32(c2)
-    h = h ^ (h >> jnp.uint32(13))
+    h = x.astype(jnp.uint32) * np.uint32(c1)
+    h = h ^ (h >> np.uint32(15))
+    h = h * np.uint32(c2)
+    h = h ^ (h >> np.uint32(13))
     return h
 
 
@@ -268,7 +268,7 @@ def _dedup_words(t, wid, n_tokens):
     )
     hv2 = jnp.where(
         is_word,
-        _mix32(t.astype(jnp.uint32) + pos_in_word.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F),
+        _mix32(t.astype(jnp.uint32) + pos_in_word.astype(jnp.uint32) * np.uint32(0x27D4EB2F),
                0xC2B2AE3D, 0x165667B1).astype(jnp.int32),
         0,
     )

@@ -63,7 +63,8 @@ from .train_stream import (
     store_rules,
 )
 
-PADKEY = jnp.uint32(0xFFFFFFFF)
+# numpy (host) scalar, NOT jnp -- see the BIG note in train_stream.py
+PADKEY = np.uint32(0xFFFFFFFF)
 
 # Pair keys are tuples of uint32 arrays so the same kernels serve every
 # vocab size:
@@ -126,21 +127,31 @@ def _compact_kv(keep: jnp.ndarray, keys: Tuple[jnp.ndarray, ...],
 
 def _reduce_by_key(keys: Tuple[jnp.ndarray, ...], vals: jnp.ndarray, cap: int):
     """Sort (keys..., val), sum vals per key, keep positive non-pad
-    totals, compact to [cap].  Per-key totals land at segment ends via
-    the global-cumsum-minus-segment-base trick (works for negative
-    deltas, unlike cummax-of-end-marks; no scatter-lowered
-    segment_sum)."""
-    n = vals.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
+    totals, compact to [cap].  Gather-free: TPU profiling (PROFILE.md
+    §3b) showed the former segment-base *gathers* (cs[ws] - vs[ws])
+    cost ~2.3 ms/round at n=160k — more than the sort itself — so the
+    mixed-sign values are split into positive/negative parts whose
+    cumsums are each monotone, letting the segment base fill forward
+    with a cummax of end marks (scans are ~100x cheaper than gathers
+    on TPU).  The worst-case cumsum magnitude (all positive entries:
+    table counts + new-side deltas) is unchanged from the mixed-sign
+    version, so the flatten_word_buckets mass guard still applies."""
     sorted_ = lax.sort(keys + (vals,), num_keys=len(keys))
     ks, vs = sorted_[:-1], sorted_[-1]
     diff = ks[0][1:] != ks[0][:-1]
     for k in ks[1:]:
         diff = diff | (k[1:] != k[:-1])
     first = jnp.concatenate([jnp.ones((1,), bool), diff])
-    cs = jnp.cumsum(vs)
-    ws = lax.cummax(jnp.where(first, idx, 0))
-    total = cs - (cs[ws] - vs[ws])
+    vp = jnp.maximum(vs, 0)
+    vn = vp - vs  # = max(-vs, 0)
+    csp = jnp.cumsum(vp)
+    csn = jnp.cumsum(vn)
+    # segment base = exclusive cumsum at the segment's first slot,
+    # filled forward (both exclusive cumsums are >= 0 and nondecreasing,
+    # so cummax of first-marks propagates exactly)
+    basep = lax.cummax(jnp.where(first, csp - vp, 0))
+    basen = lax.cummax(jnp.where(first, csn - vn, 0))
+    total = (csp - basep) - (csn - basen)
     is_end = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
     keep = is_end & (ks[0] != PADKEY) & (total > 0)
     return _compact_kv(keep, ks, total, cap)
@@ -239,14 +250,14 @@ def train_rounds_delta(
         hit, rix = pair_hits(t, wid, acc, cx, cy)
         aff = _affected_positions(t, wid, hit)
         dk_old, dv_old, n_old, of_old = _delta_contributions(
-            t, wid, fw, aff, dcap, jnp.int32(-1), wide
+            t, wid, fw, aff, dcap, np.int32(-1), wide
         )
         t2, w2, fw2, aff2 = apply_accepted(
             t, wid, acc, cx, cy, zs,
             extra=(fw, aff.astype(jnp.int32)), hit=hit, rix=rix,
         )
         dk_new, dv_new, n_new, of_new = _delta_contributions(
-            t2, w2, fw2, aff2 != 0, dcap, jnp.int32(1), wide
+            t2, w2, fw2, aff2 != 0, dcap, np.int32(1), wide
         )
 
         def delta_path(args):
@@ -319,19 +330,26 @@ def _next_pow2(x: int) -> int:
 
 def _pcap_budget(n_live0: int, merges: int) -> int:
     """Size the pair-count table ONCE so the overflow->recompile
-    fallback is never taken in practice (each retry recompiles the
-    training program, ~1-2 min on remote-compile toolchains).
+    fallback is rarely taken (a retry recompiles at 2x pcap — a
+    per-shape cache miss, cached after).
 
     Existing pair kinds only shrink (a merge (x,y)->z removes (l,x),
     (x,y), (y,r) occurrences); growth comes from the new kinds (l,z)
     and (z,r).  Measured on Zipf text (PROFILE.md §3, 2 MB / vocab
-    5000): ~26 net new kinds per merge over the first ~1k merges,
-    under 10 after ~2k, plateau ~46.2k live kinds.  Budget 48/merge
-    early and 16/merge late — >2x the measured growth at every point.
-    """
-    early = 48 * min(max(merges, 0), 1000)
-    late = 16 * max(merges - 1000, 0)
-    return _next_pow2(max(2 * n_live0, n_live0 + early + late, 1 << 14))
+    5000): ~23 net new kinds per merge over the first ~1k merges,
+    ~6.5/merge over 1k-2k, under 1/merge beyond, plateau ~46.2k live
+    kinds vs 13k initial.  Budget 36/12/4 per merge across those
+    segments — >=1.5x the measured growth at every point.  Every
+    pow-of-2 of table size costs ~15% round throughput (the top-k and
+    fold sorts scan the whole table), so the budget is deliberately
+    snug now that overflow no longer recompiles from scratch each run
+    (the persistent compilation cache holds the doubled-shape program
+    after its first miss)."""
+    m = max(merges, 0)
+    grow = 36 * min(m, 1000) + 12 * min(max(m - 1000, 0), 1000) + 4 * max(
+        m - 2000, 0
+    )
+    return _next_pow2(max(2 * n_live0, n_live0 + grow, 1 << 14))
 
 
 def _fit_table(tk, tc, pcap: int, wide: bool = False):

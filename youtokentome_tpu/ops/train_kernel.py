@@ -42,7 +42,10 @@ from jax import lax
 
 from .segment import PAD, apply_merge_rows, pair_count_mask
 
-BIG = jnp.int32(0x7FFFFFFF)
+# numpy (host) scalar: a module-level jnp scalar is a *device* array
+# whose value must be fetched D2H when embedded as an XLA constant at
+# lowering time -- minutes per fetch on remote-tunnel toolchains.
+BIG = np.int32(0x7FFFFFFF)
 
 
 def _pair_arrays(tokens: jnp.ndarray, freq: jnp.ndarray):

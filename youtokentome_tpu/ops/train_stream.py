@@ -33,7 +33,10 @@ from jax import lax
 
 from .train_kernel import _argmax_tiebreak
 
-BIG = jnp.int32(0x7FFFFFFF)
+# numpy (host) scalar, NOT jnp: a module-level jnp scalar lives on the
+# device and its value is fetched D2H when lowering embeds it as an XLA
+# constant -- minutes per fetch on remote-tunnel toolchains (PROFILE.md).
+BIG = np.int32(0x7FFFFFFF)
 PAD = -1
 
 
@@ -68,10 +71,10 @@ def _segment_counts_flat(kx, ky, wf, pack16: bool = False):
     """
     if pack16:
         key = (kx.astype(jnp.uint32) << 16) | (ky.astype(jnp.uint32) & 0xFFFF)
-        key = jnp.where(kx == BIG, jnp.uint32(0xFFFFFFFF), key)
+        key = jnp.where(kx == BIG, np.uint32(0xFFFFFFFF), key)
         key_s, w_s = lax.sort((key, wf), num_keys=1)
         first = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-        invalid_s = key_s == jnp.uint32(0xFFFFFFFF)
+        invalid_s = key_s == np.uint32(0xFFFFFFFF)
         kx_s = jnp.where(invalid_s, BIG, (key_s >> 16).astype(jnp.int32))
         ky_s = jnp.where(invalid_s, BIG, (key_s & 0xFFFF).astype(jnp.int32))
     else:

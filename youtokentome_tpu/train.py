@@ -24,6 +24,7 @@ from .ops.train_sparse import run_training_sparse
 from .ops.train_stream import run_training_stream
 from .ops.utf8 import decode_utf8_bytes
 from .oracle import rename_tokens
+from .parallel.train_delta_sharded import run_training_delta_sharded
 from .parallel.train_sparse_sharded import run_training_sparse_sharded
 
 
@@ -86,14 +87,18 @@ def train_from_codepoints(
         )
 
     buckets = preprocess.training_word_buckets(cps, alphabet)
-    # impl selection: "sparse" = site-local tombstone trainer (v3,
-    # default; no full-stream sorts per round), "delta" = incremental
-    # count table with sort-compacted apply (v2), "stream" = full
-    # recount per round (v1).  All three serve any vocab size: pair
-    # keys are packed uint32 below vocab 65536 and two-component
+    # impl selection: "auto" (default) = the sharded trainer on a
+    # multi-device data mesh, else the delta trainer; "delta" =
+    # incremental count table with sort-compacted apply (v2 — the
+    # fastest single-device kernel on real TPU: sorts are fast,
+    # gathers are slow, see PROFILE.md §3b), "sparse" = site-local
+    # tombstone trainer (v3 — gather-bound on TPU, kept for the
+    # sharded kernel and as a differential check), "stream" = full
+    # recount per round (v1).  All serve any vocab size: pair keys
+    # are packed uint32 below vocab 65536 and two-component
     # (lexicographic-sorted) above (train_delta key layout), matching
     # the reference's unlimited vocab.
-    impl = os.environ.get("YTTM_TRAIN_IMPL", "sparse")
+    impl = os.environ.get("YTTM_TRAIN_IMPL", "auto")
     kwargs = dict(
         batch_k=int(os.environ.get("YTTM_TRAIN_BATCH_K", "16")),
         progress_every=int(os.environ.get("YTTM_TRAIN_PROGRESS", "0")),
@@ -101,17 +106,21 @@ def train_from_codepoints(
         checkpoint_every=int(os.environ.get("YTTM_TRAIN_CHECKPOINT_EVERY", "0")),
         resume_path=os.environ.get("YTTM_TRAIN_RESUME") or None,
     )
-    mesh = _training_mesh(buckets) if impl == "sparse" else None
-    if mesh is not None:
+    mesh = _training_mesh(buckets) if impl in ("auto", "sparse") else None
+    if mesh is not None and impl == "sparse":
         rules = run_training_sparse_sharded(
+            buckets, used_ids0, vocab_size, mesh, **kwargs
+        )
+    elif mesh is not None:
+        rules = run_training_delta_sharded(
             buckets, used_ids0, vocab_size, mesh, **kwargs
         )
     elif impl == "sparse":
         rules = run_training_sparse(buckets, used_ids0, vocab_size, **kwargs)
-    elif impl == "delta":
-        rules = run_training_delta(buckets, used_ids0, vocab_size, **kwargs)
-    else:
+    elif impl == "stream":
         rules = run_training_stream(buckets, used_ids0, vocab_size, **kwargs)
+    else:  # auto (single device) and delta
+        rules = run_training_delta(buckets, used_ids0, vocab_size, **kwargs)
 
     char2id, rules = rename_tokens(alphabet.char2id, rules, special, vocab_size)
     return BPEState(char2id=char2id, rules=rules, special_tokens=special)
