@@ -5,11 +5,11 @@ across <=8 threads with per-thread pair-count shards summed on demand
 (bpe.cpp:864-873, check_cnt bpe.cpp:1099-1108).  The TPU-native scale-up
 spans hosts: every process holds a shard of the corpus, the device mesh
 spans all processes, and the same sharded training kernel
-(parallel/train_sparse_sharded._train_sparse_sharded) runs unchanged —
-its per-round bounded all_gather rides ICI between devices of one host
-and DCN between hosts, and integer count folds in a fixed gather order
-make the result bit-identical to a single process at any (process,
-device) layout.
+(parallel/train_delta_sharded._train_delta_sharded, the production
+multi-device path) runs unchanged — its per-round bounded all_gather
+rides ICI between devices of one host and DCN between hosts, and
+integer count folds in a fixed gather order make the result
+bit-identical to a single process at any (process, device) layout.
 
 SPMD contract: every process calls the same functions with its LOCAL
 corpus shard; all cross-host agreement (alphabet, word-id bases, the
@@ -135,7 +135,7 @@ def train_from_codepoints_distributed(
     on the concatenated corpus."""
     from ..ops.train_delta import _fit_table, _next_pow2, _pcap_budget
     from ..ops.train_stream import PAD, flatten_word_buckets
-    from .train_sparse_sharded import _train_sparse_sharded
+    from .train_delta_sharded import _train_delta_sharded
     from .train_sharded import _MeshRef
 
     import os
@@ -250,8 +250,8 @@ def train_from_codepoints_distributed(
     t_start = time.time()
     while used < vocab_size:
         limit = min(vocab_size, used + seg)
-        td, tkd, tcd, rules_d, used_d, done, overflow, nrec = (
-            _train_sparse_sharded(
+        td, wd, tkd, tcd, rules_d, used_d, done, overflow, nrec = (
+            _train_delta_sharded(
                 td, wd, fd, tkd, tcd,
                 to_global(np.asarray(used, np.int32), P()),
                 rules_d, u0,
