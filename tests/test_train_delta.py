@@ -96,3 +96,26 @@ def test_delta_tiny_dcap_overflow_fallback():
     finally:
         del os.environ["YTTM_TRAIN_DCAP"]
     assert got == ref
+
+
+def test_repack_invariance(monkeypatch):
+    """Progressive stream re-packing (halving the padded M as merges
+    shrink the live stream) must not change the rules: with the repack
+    floor forced to the minimum, a run that re-packs several times is
+    bit-identical to one that never does."""
+    rng = random.Random(11)
+    text = " ".join(
+        "".join(rng.choice("abcd") for _ in range(rng.randint(2, 9)))
+        for _ in range(600)
+    )
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    monkeypatch.setenv("YTTM_TRAIN_REPACK", "0")
+    base = _run_impl("delta", _cps(text), 120, cfg)
+    monkeypatch.setenv("YTTM_TRAIN_REPACK", "1")
+    monkeypatch.setenv("YTTM_TRAIN_REPACK_MIN", "16")
+    # small segments so the host actually re-packs mid-run (with the
+    # default single-segment run the slice never fires)
+    monkeypatch.setenv("YTTM_TRAIN_PROGRESS", "8")
+    packed = _run_impl("delta", _cps(text), 120, cfg)
+    assert base.rules == packed.rules
+    assert base.char2id == packed.char2id

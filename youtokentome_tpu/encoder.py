@@ -30,7 +30,14 @@ import os
 from .host import fasttok, preprocess
 from .models.state import BOS_TOKEN, EOS_TOKEN, SPACE_TOKEN, BPEState, is_space
 from .models.vocab import Vocabulary
-from .ops.encode_kernel import PLACEHOLDER_START, EncoderTables, encode_batch
+from .ops.encode_kernel import (
+    PLACEHOLDER_START,
+    U16_PAD,
+    U16_PH_FLOOR,
+    EncoderTables,
+    encode_batch,
+    pack_tokens_u16,
+)
 from .ops.stream_kernel import NEWLINE, StreamEncoder
 
 # id-mode fast-path backend: "native" = C++ tokenizer + device merge of
@@ -88,6 +95,12 @@ class Encoder:
         )
         self._cache: Dict[bytes, np.ndarray] = {}
         self._cache_size = cache_size
+        # uint16 wire format for the id-mode device round trips (halves
+        # the tunnel transfer bytes; ops/encode_kernel.py layout note)
+        self._u16_ok = (
+            state.vocab_size() < U16_PH_FLOOR
+            and state.special_tokens.unk_id >= 0
+        )
         self._stream = StreamEncoder(
             self.tables, self._sorted_cps, self._sorted_ids, self.space_id
         )
@@ -134,6 +147,25 @@ class Encoder:
         from .ops.encode_kernel import _encode_greedy
 
         return _encode_greedy(self.tables, jnp.asarray(mat))
+
+    def _dispatch_greedy_u16(self, mat: np.ndarray):
+        """uint16-wire variant of _dispatch_greedy (id-mode only: the
+        result has placeholders already mapped to unk).  ``mat`` is the
+        int32 token matrix; packing happens here."""
+        unk = self.state.special_tokens.unk_id
+        m16 = pack_tokens_u16(mat)
+        mesh = self._get_mesh()
+        if mesh is not None and m16.shape[0] % mesh.devices.size == 0:
+            from .parallel.encode_sharded import encode_greedy_sharded_u16
+
+            return encode_greedy_sharded_u16(self.tables, m16, unk, mesh)
+        import jax.numpy as jnp
+
+        from .ops.encode_kernel import _encode_greedy_u16
+
+        return _encode_greedy_u16(
+            self.tables, jnp.asarray(m16), np.int32(unk)
+        )
 
     def _word_cache(self) -> fasttok.WordCache:
         if self._wcache is None:
@@ -465,13 +497,26 @@ class Encoder:
             mat = np.where(
                 in_row, words_flat[np.minimum(idx2d, words_flat.size - 1)], -1
             ).astype(np.int32)
-            kp = -(-mat.shape[0] // DEVICE_BATCH) * DEVICE_BATCH
-            if kp != mat.shape[0]:
+            # snap the row count to a small tier first: steady-state CLI
+            # chunks have few novel words, and shipping a full 8192-row
+            # padded batch through the ~10-30 MB/s tunnel for a handful
+            # of rows was the dominant per-chunk cost (PROFILE.md §1)
+            k = mat.shape[0]
+            kp = next(
+                (r for r in (512, 2048) if k <= r),
+                -(-k // DEVICE_BATCH) * DEVICE_BATCH,
+            )
+            if kp != k:
                 mat = np.concatenate(
-                    [mat, np.full((kp - mat.shape[0], cap), -1, np.int32)]
+                    [mat, np.full((kp - k, cap), -1, np.int32)]
                 )
+            dispatch = (
+                self._dispatch_greedy_u16
+                if self._u16_ok
+                else self._dispatch_greedy
+            )
             futs = [
-                self._dispatch_greedy(mat[c0 : c0 + DEVICE_BATCH])
+                dispatch(mat[c0 : c0 + DEVICE_BATCH])
                 for c0 in range(0, kp, DEVICE_BATCH)
             ]
             pending.append((sel, futs))
@@ -493,7 +538,11 @@ class Encoder:
         parts = []
         for sel, futs in pending:
             out = np.concatenate([np.asarray(f) for f in futs], axis=0)[: sel.size]
-            mask = out >= 0
+            if out.dtype == np.uint16:
+                mask = out != U16_PAD
+                out = out.astype(np.int32)
+            else:
+                mask = out >= 0
             res_lens[sel] = mask.sum(axis=1)
             parts.append((sel, out, mask))
 

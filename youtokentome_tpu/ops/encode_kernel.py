@@ -44,6 +44,17 @@ from .segment import PAD, compact_rows, select_leftmost_nonoverlapping
 
 PLACEHOLDER_START = 10**9  # unknown-run placeholder ids (bpe.cpp:1503-1527)
 
+# uint16-packed transfer layout for the id-mode fast paths: device
+# uploads/downloads through the remote tunnel run at ~10-30 MB/s, so
+# halving the wire format doubles effective encode throughput on padded
+# batches (PROFILE.md §1).  Real ids stay as-is; PAD packs to 0xFFFF and
+# the per-word unknown-run placeholder ph packs to 0xFFFE - ph (word
+# length <= 512 bounds ph, so 0xF000 is a safe floor).  Only models with
+# vocab_size < 0xF000 use the packed path.
+U16_PAD = 0xFFFF
+U16_PH_TOP = 0xFFFE
+U16_PH_FLOOR = 0xF000
+
 
 class EncoderTables:
     """Device-side tables derived from a trained model (a jax pytree)."""
@@ -112,6 +123,38 @@ def _encode_greedy(tables: EncoderTables, tokens: jnp.ndarray) -> jnp.ndarray:
         cond, body, (tokens, jnp.asarray(False), jnp.asarray(0, jnp.int32))
     )
     return toks
+
+
+def pack_tokens_u16(mat: np.ndarray) -> np.ndarray:
+    """Host-side [B, L] int32 -> uint16 wire format (see layout note)."""
+    ph = mat >= PLACEHOLDER_START
+    out = np.where(
+        mat < 0,
+        U16_PAD,
+        np.where(ph, U16_PH_TOP - (mat - PLACEHOLDER_START), mat),
+    )
+    return out.astype(np.uint16)
+
+
+def _unpack_u16(toks_u16: jnp.ndarray) -> jnp.ndarray:
+    u = toks_u16.astype(jnp.int32)
+    return jnp.where(
+        u == U16_PAD,
+        PAD,
+        jnp.where(u >= U16_PH_FLOOR, PLACEHOLDER_START + (U16_PH_TOP - u), u),
+    )
+
+
+@jax.jit
+def _encode_greedy_u16(
+    tables: EncoderTables, toks_u16: jnp.ndarray, unk_id: jnp.ndarray
+) -> jnp.ndarray:
+    """uint16-wire greedy encode: unpack, merge, pack.  Placeholders map
+    to ``unk_id`` on device (the id-mode paths do this on the host
+    anyway, and it keeps every output value < 0xF000 < U16_PAD)."""
+    out = _encode_greedy(tables, _unpack_u16(toks_u16))
+    o = jnp.where(out >= PLACEHOLDER_START, unk_id.astype(jnp.int32), out)
+    return jnp.where(out == PAD, U16_PAD, o).astype(jnp.uint16)
 
 
 @jax.jit

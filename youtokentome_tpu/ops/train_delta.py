@@ -294,7 +294,10 @@ def train_rounds_delta(
             jnp.asarray(False),
         ),
     )
-    return t2, w2, tk2, tc2, rules, used, done, overflow
+    # live stream tokens (the stream is front-compacted every round, so
+    # the host can re-pack to a smaller padded shape when this halves)
+    n_stream = jnp.sum((t2 >= 0).astype(jnp.int32))
+    return t2, w2, tk2, tc2, rules, used, done, overflow, n_stream
 
 
 def host_count_table(t: np.ndarray, wid: np.ndarray, freq: np.ndarray):
@@ -434,16 +437,42 @@ def run_training_delta(
     ) or min(_pcap_budget(n_live, vocab_size - used_ids0), _next_pow2(m))
     tk, tc = _fit_table(uk, uc, pcap, wide)
 
-    seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)
+    # segments are capped so the host sees the live stream count often
+    # enough to re-pack: per-round cost scales with the padded M, and
+    # merging shrinks the live stream 2-4x over a training run, so
+    # halving the padded shape when occupancy drops below half keeps
+    # rounds proportional to the LIVE stream (each new pow-2 shape is
+    # one extra compile, persistent-cached across runs; re-packing is a
+    # device-side slice of the front-compacted stream — no transfers).
+    repack = os.environ.get("YTTM_TRAIN_REPACK", "1") != "0"
+    repack_min = int(os.environ.get("YTTM_TRAIN_REPACK_MIN", str(1 << 14)))
+    seg = min(
+        x
+        for x in (
+            progress_every,
+            checkpoint_every,
+            1024 if repack else 0,
+            vocab_size,
+        )
+        if x
+    )
     t_start = time.time()
     while used < vocab_size:
         limit = min(vocab_size, used + seg)
-        td, wd, tk, tc, rules, used_d, done, overflow = train_rounds_delta(
-            td, wd, fd, tk, tc, rules,
-            jnp.asarray(used, jnp.int32), u0,
-            jnp.asarray(limit, jnp.int32), vocab_size, batch_k, pcap, dcap,
+        td, wd, tk, tc, rules, used_d, done, overflow, n_stream = (
+            train_rounds_delta(
+                td, wd, fd, tk, tc, rules,
+                jnp.asarray(used, jnp.int32), u0,
+                jnp.asarray(limit, jnp.int32), vocab_size, batch_k, pcap,
+                dcap,
+            )
         )
         used = int(used_d)
+        if repack and not bool(overflow):
+            md = _next_pow2(max(int(n_stream), repack_min))
+            if md < int(td.shape[0]):
+                td = td[:md]
+                wd = wd[:md]
         if bool(overflow):
             pcap *= 2
             uk, uc = host_count_table(

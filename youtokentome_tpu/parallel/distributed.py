@@ -250,7 +250,7 @@ def train_from_codepoints_distributed(
     t_start = time.time()
     while used < vocab_size:
         limit = min(vocab_size, used + seg)
-        td, wd, tkd, tcd, rules_d, used_d, done, overflow, nrec = (
+        td, wd, tkd, tcd, rules_d, used_d, done, overflow, nrec, _ns = (
             _train_delta_sharded(
                 td, wd, fd, tkd, tcd,
                 to_global(np.asarray(used, np.int32), P()),

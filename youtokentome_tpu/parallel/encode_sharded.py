@@ -16,7 +16,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.encode_kernel import EncoderTables, _encode_greedy
+from ..ops.encode_kernel import EncoderTables, _encode_greedy, _encode_greedy_u16
 from .mesh import DATA_AXIS, data_mesh
 
 
@@ -35,6 +35,22 @@ def encode_greedy_sharded(
     )
     tables_r = jax.device_put(tables, NamedSharding(mesh, P()))
     return _encode_greedy(tables_r, toks)
+
+
+def encode_greedy_sharded_u16(
+    tables: EncoderTables,
+    tokens_u16: np.ndarray,
+    unk_id: int,
+    mesh: Mesh,
+) -> jax.Array:
+    """uint16-wire variant of encode_greedy_sharded (see the layout note
+    in ops/encode_kernel.py): same sharding, half the transfer bytes."""
+    toks = jax.device_put(
+        jnp.asarray(tokens_u16, jnp.uint16),
+        NamedSharding(mesh, P(DATA_AXIS, None)),
+    )
+    tables_r = jax.device_put(tables, NamedSharding(mesh, P()))
+    return _encode_greedy_u16(tables_r, toks, np.int32(unk_id))
 
 
 def encode_batch_sharded(

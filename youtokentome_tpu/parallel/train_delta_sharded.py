@@ -187,7 +187,11 @@ def _train_delta_sharded(
                 ),
             )
         )
-        return t2, w2, tk2, tc2, rules, used, done, overflow, nrec
+        # per-shard live token count (streams are front-compacted every
+        # round) so the host can re-pack all shards to a smaller common
+        # padded shape when the global max halves
+        n_stream = jnp.sum((t2 >= 0).astype(jnp.int32)).reshape(1)
+        return t2, w2, tk2, tc2, rules, used, done, overflow, nrec, n_stream
 
     shmapped = jax.shard_map(
         run,
@@ -197,10 +201,27 @@ def _train_delta_sharded(
         ),
         out_specs=(
             P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(), P(), P(), P(),
+            P(DATA_AXIS),
         ),
         check_vma=False,
     )
     return shmapped(t, wid, freq, tk, tc, used, rules, used_ids0, limit)
+
+
+@functools.partial(jax.jit, static_argnames=("md", "mesh_ref"))
+def _repack_sharded(t, wid, md, mesh_ref):
+    """Slice every shard's front-compacted stream to [md] on device."""
+
+    def f(t, w):
+        return t[:md], w[:md]
+
+    return jax.shard_map(
+        f,
+        mesh=mesh_ref.mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )(t, wid)
 
 
 def run_training_delta_sharded(
@@ -264,11 +285,22 @@ def run_training_delta_sharded(
     rules_d = jax.device_put(jnp.asarray(rules, jnp.int32), rep)
     u0 = jax.device_put(jnp.asarray(used_ids0, jnp.int32), rep)
 
-    seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)
+    repack = os.environ.get("YTTM_TRAIN_REPACK", "1") != "0"
+    repack_min = int(os.environ.get("YTTM_TRAIN_REPACK_MIN", str(1 << 14)))
+    seg = min(
+        x
+        for x in (
+            progress_every,
+            checkpoint_every,
+            1024 if repack else 0,
+            vocab_size,
+        )
+        if x
+    )
     t_start = time.time()
     while used < vocab_size:
         limit = min(vocab_size, used + seg)
-        td, wd, tkd, tcd, rules_d, used_d, done, overflow, nrec = (
+        td, wd, tkd, tcd, rules_d, used_d, done, overflow, nrec, n_stream = (
             _train_delta_sharded(
                 td, wd, fd, tkd, tcd,
                 jax.device_put(jnp.asarray(used, jnp.int32), rep),
@@ -278,6 +310,13 @@ def run_training_delta_sharded(
             )
         )
         used = int(used_d)
+        if repack and not bool(overflow):
+            from ..ops.train_delta import _next_pow2 as _np2
+
+            md = _np2(max(int(np.asarray(n_stream).max()), repack_min))
+            if md < per:
+                td, wd = _repack_sharded(td, wd, md, _MeshRef(mesh))
+                per = md
         if bool(overflow):
             # rare: live pair kinds exceeded pcap; rebuild the table
             # from the current compacted stream with doubled capacity
