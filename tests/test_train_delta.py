@@ -119,3 +119,60 @@ def test_repack_invariance(monkeypatch):
     packed = _run_impl("delta", _cps(text), 120, cfg)
     assert base.rules == packed.rules
     assert base.char2id == packed.char2id
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_block_equals_delta_random(seed):
+    """v4 block-sparse trainer: identical rules to the delta trainer on
+    run-heavy random corpora (exercises the block/full-path boundary,
+    per-row compaction parity, and whole-block contribution
+    cancellation)."""
+    rng = random.Random(100 + seed)
+    out = []
+    while len(out) < 1500:
+        if rng.randrange(2):
+            out.append(rng.choice("abcd "))
+        else:
+            out.extend([rng.choice("abcd ")] * rng.randint(2, 6))
+    text = "".join(out)
+    vocab = 15 + rng.randrange(50)
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    a = _run_impl("delta", _cps(text), vocab, cfg)
+    b = _run_impl("block", _cps(text), vocab, cfg)
+    assert a.rules == b.rules
+    assert a.char2id == b.char2id
+
+
+def test_block_small_kb_forces_block_path(monkeypatch):
+    """With KB forced tiny, late rounds take the gathered-block path
+    and early rounds the full path; rules must still match delta."""
+    rng = random.Random(5)
+    text = " ".join(
+        "".join(rng.choice("abc") for _ in range(rng.randint(2, 7)))
+        for _ in range(400)
+    )
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    a = _run_impl("delta", _cps(text), 80, cfg)
+    monkeypatch.setenv("YTTM_TRAIN_KB", "4")
+    b = _run_impl("block", _cps(text), 80, cfg)
+    assert a.rules == b.rules
+
+
+def test_block_matches_oracle_zipf():
+    """Block trainer vs the pure-Python oracle on a Zipf corpus large
+    enough that both kernel branches (full recount early, gathered
+    blocks late) run with the production KB sizing."""
+    rng = np.random.default_rng(13)
+    letters = "abcdefghij"
+    words = [
+        "".join(rng.choice(list(letters), size=l))
+        for l in np.clip(rng.poisson(5, 500), 2, 12)
+    ]
+    probs = 1.0 / np.arange(1, 501)
+    probs /= probs.sum()
+    text = " ".join(np.array(words, object)[rng.choice(500, 6000, p=probs)])
+    cfg = BpeConfig(1.0, 1, SpecialTokens(0, 1, 2, 3))
+    a = oracle_train(_cps(text), 200, cfg)
+    b = _run_impl("block", _cps(text), 200, cfg)
+    assert a.rules == b.rules
+    assert a.char2id == b.char2id

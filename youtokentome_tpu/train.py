@@ -19,6 +19,7 @@ import numpy as np
 
 from .host import preprocess
 from .models.state import BPEState, BpeConfig, check_config
+from .ops.train_block import run_training_block
 from .ops.train_delta import run_training_delta
 from .ops.train_sparse import run_training_sparse
 from .ops.train_stream import run_training_stream
@@ -119,6 +120,8 @@ def train_from_codepoints(
         rules = run_training_sparse(buckets, used_ids0, vocab_size, **kwargs)
     elif impl == "stream":
         rules = run_training_stream(buckets, used_ids0, vocab_size, **kwargs)
+    elif impl == "block":
+        rules = run_training_block(buckets, used_ids0, vocab_size, **kwargs)
     else:  # auto (single device) and delta
         rules = run_training_delta(buckets, used_ids0, vocab_size, **kwargs)
 
