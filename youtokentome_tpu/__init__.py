@@ -30,8 +30,17 @@ if _plat:
 # makes the persistent cache actually engage; a second process then
 # deserializes the executable in seconds.  The default engages the
 # cache even when the env var is unset (opt out: YTTM_JAX_CACHE=0).
+#
+# CPU is excluded: this jax build's XLA:CPU AOT loader deserializes
+# executables with a machine-feature mismatch warning and then
+# intermittently SEGFAULTS (observed in the long stress suite); CPU
+# compiles are fast, so the cache only ever mattered for the remote
+# TPU toolchain.  YTTM_JAX_CACHE=force overrides.
 _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
-if _os.environ.get("YTTM_JAX_CACHE", "1") != "0":
+_cache_flag = _os.environ.get("YTTM_JAX_CACHE", "1")
+if _cache_flag != "0" and (
+    _cache_flag == "force" or (_plat or "").strip().lower() != "cpu"
+):
     try:
         import jax as _jax
 
