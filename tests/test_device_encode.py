@@ -121,3 +121,42 @@ def test_coverage_model_encode(seed=11):
     s = _sentences(seed)
     assert device.encode(s, "id") == oracle.encode(s, "id")
     assert device.encode(s, "subword") == oracle.encode(s, "subword")
+
+
+def test_u16_wire_kernel_matches_int32():
+    """The uint16 wire-format kernel (pack -> merge -> pack) must agree
+    with the int32 kernel up to the documented mapping (PAD -> 0xFFFF,
+    placeholders -> unk).  The packed path is TPU-only in production
+    (transfer optimization); this pins its semantics on CPU."""
+    import numpy as np
+
+    from youtokentome_tpu.models.state import BPEState, SpecialTokens
+    from youtokentome_tpu.ops.encode_kernel import (
+        PLACEHOLDER_START,
+        U16_PAD,
+        EncoderTables,
+        _encode_greedy,
+        _encode_greedy_u16,
+        pack_tokens_u16,
+    )
+
+    st = BPEState(
+        char2id={97: 4, 98: 5, 99: 6},
+        rules=[(4, 5, 7), (7, 6, 8), (5, 5, 9)],
+        special_tokens=SpecialTokens(0, 1, 2, 3),
+    )
+    tab = EncoderTables(st)
+    rng = np.random.default_rng(3)
+    mat = np.full((64, 16), -1, np.int32)
+    for i in range(64):
+        ln = int(rng.integers(1, 15))
+        row = rng.choice([4, 5, 6], size=ln)
+        # sprinkle placeholder runs
+        if i % 5 == 0 and ln > 2:
+            row[1] = PLACEHOLDER_START
+        mat[i, :ln] = row
+    ref = np.asarray(_encode_greedy(tab, mat))
+    unk = 1
+    got = np.asarray(_encode_greedy_u16(tab, pack_tokens_u16(mat), np.int32(unk)))
+    exp = np.where(ref < 0, U16_PAD, np.where(ref >= PLACEHOLDER_START, unk, ref))
+    np.testing.assert_array_equal(got.astype(np.int64), exp.astype(np.int64))

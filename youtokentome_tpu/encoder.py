@@ -148,6 +148,19 @@ class Encoder:
 
         return _encode_greedy(self.tables, jnp.asarray(mat))
 
+    def _use_u16(self) -> bool:
+        """uint16 wire format is a *transfer* optimization (remote TPU
+        tunnels move ~10-30 MB/s); on the CPU backend it buys nothing
+        and this jax build's XLA:CPU intermittently segfaults compiling
+        the sharded uint16 program after many compiles in one process
+        (observed thrice in the long stress suite) — so the packed path
+        is gated to non-CPU backends."""
+        if not self._u16_ok:
+            return False
+        import jax
+
+        return jax.default_backend() != "cpu"
+
     def _dispatch_greedy_u16(self, mat: np.ndarray):
         """uint16-wire variant of _dispatch_greedy (id-mode only: the
         result has placeholders already mapped to unk).  ``mat`` is the
@@ -512,7 +525,7 @@ class Encoder:
                 )
             dispatch = (
                 self._dispatch_greedy_u16
-                if self._u16_ok
+                if self._use_u16()
                 else self._dispatch_greedy
             )
             futs = [

@@ -122,7 +122,15 @@ def train_from_codepoints(
         rules = run_training_stream(buckets, used_ids0, vocab_size, **kwargs)
     elif impl == "block":
         rules = run_training_block(buckets, used_ids0, vocab_size, **kwargs)
-    else:  # auto (single device) and delta
+    elif impl == "auto" and sum(
+        int((mat >= 0).sum()) for mat, _ in buckets
+    ) >= (1 << 23):
+        # measured at 100 MB / vocab 30k on the chip (PROFILE.md §3c):
+        # block 466 s vs delta 631 s warm — the block trainer wins once
+        # per-round full-stream sorts dominate.  run_training_block
+        # falls back to delta itself when a word exceeds the block cap.
+        rules = run_training_block(buckets, used_ids0, vocab_size, **kwargs)
+    else:  # auto (small/medium single device) and delta
         rules = run_training_delta(buckets, used_ids0, vocab_size, **kwargs)
 
     char2id, rules = rename_tokens(alphabet.char2id, rules, special, vocab_size)
