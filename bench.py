@@ -34,7 +34,8 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_yttm")
+# the persistent compile cache dir defaults to a per-user path inside
+# youtokentome_tpu/__init__ (JAX_COMPILATION_CACHE_DIR overrides)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import numpy as np

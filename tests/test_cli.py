@@ -158,3 +158,79 @@ def test_subword_output(artifacts):
         ["encode", f"--model={model}", "--output_type=subword"], stdin="abc def\n"
     )
     assert out.startswith("▁")
+
+
+def test_decode_line_streamed(artifacts):
+    """Interactive decode parity (bpe.cpp:2016-2028): each line's text is
+    emitted and flushed BEFORE stdin reaches EOF."""
+    import select
+
+    tmp, model, _, test_text = artifacts
+    line1 = run_cli(
+        ["encode", f"--model={model}", "--output_type=id"],
+        stdin=test_text.split("\n")[0] + "\n",
+    ).splitlines()[0]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _WRAPPER, "decode", f"--model={model}"],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        env=env,
+        cwd=str(REPO),
+    )
+    try:
+        proc.stdin.write((line1 + "\n").encode())
+        proc.stdin.flush()
+        # stdin stays OPEN: the line must come back on its own
+        ready, _, _ = select.select([proc.stdout], [], [], 60)
+        assert ready, "decode produced no output before EOF"
+        out = proc.stdout.readline().decode()
+        assert out.endswith("\n") and out.strip()
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=30)
+
+
+def test_train_stderr_parity(tmp_path):
+    """Training prints the reference's config block (bpe.cpp:1352-1366)
+    and a merge line every 1000 ids by default (bpe.cpp:1198-1219)."""
+    import re
+
+    random.seed(31)
+    train = tmp_path / "t.txt"
+    with open(train, "w") as f:
+        for _ in range(800):
+            print("".join(random.choice("abcdefgh ") for _ in range(70)), file=f)
+    model = tmp_path / "m.yttm"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-c", _WRAPPER, "bpe", f"--data={train}",
+         f"--model={model}", "--vocab_size=1100"],
+        capture_output=True, env=env, cwd=str(REPO),
+    )
+    assert res.returncode == 0, res.stderr.decode()
+    err = res.stderr.decode()
+    for want in (
+        "Training parameters",
+        f"  input: {train}",
+        f"  model: {model}",
+        "  vocab_size: 1100",
+        "  character_coverage: 1",
+        "  pad: 0",
+        "  unk: 1",
+        "  bos: 2",
+        "  eos: 3",
+        "reading file...",
+        "learning bpe...",
+        "model saved to:",
+    ):
+        assert want in err, f"missing {want!r} in stderr:\n{err}"
+    # the id-1000 merge line: "id: 1000=x+y   freq: N   subword: sz=sx+sy"
+    m = re.search(r"^id: 1000=(\d+)\+(\d+)\s+freq: (\d+)\s+subword: (\S+)=(\S+)\+(\S+)$",
+                  err, re.M)
+    assert m, f"missing merge log line in stderr:\n{err}"
+    assert m.group(4) == m.group(5) + m.group(6)

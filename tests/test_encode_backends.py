@@ -147,3 +147,32 @@ def test_encode_stream_cli_pipelined_matches_sequential(model):
     finally:
         os.environ.pop("YTTM_WORD_CACHE", None)
     assert evicted == seq
+
+
+@pytest.mark.parametrize("arm", ["host", "device"])
+def test_merge_dispatch_arms_match_oracle(model, arm, monkeypatch):
+    """The encode dispatch crossover (encoder._merge_policy) must be
+    invisible: the C++ host greedy merge (latency arm) and the batched
+    device kernel (throughput arm) produce identical ids, both equal to
+    the oracle (bpe.cpp:1560-1589 semantics)."""
+    if not fasttok.available():
+        pytest.skip("native helper unavailable")
+    monkeypatch.setenv("YTTM_ENCODE_BACKEND", "native")
+    monkeypatch.setenv("YTTM_ENCODE_MERGE", arm)
+    enc = Encoder(model)
+    oracle = OracleEncoder(model)
+    s = _sentences(11)
+    assert enc.encode(s, "id") == oracle.encode(s, "id")
+
+
+def test_host_merge_words_matches_device(model, monkeypatch):
+    """Direct differential of the two merge arms over one CLI chunk."""
+    if not fasttok.available():
+        pytest.skip("native helper unavailable")
+    data = ("\n".join(_sentences(12)) + "\n").encode()
+    monkeypatch.setenv("YTTM_ENCODE_BACKEND", "native")
+    monkeypatch.setenv("YTTM_ENCODE_MERGE", "device")
+    a = Encoder(model).encode_text_cli(data)
+    monkeypatch.setenv("YTTM_ENCODE_MERGE", "host")
+    b = Encoder(model).encode_text_cli(data)
+    assert a == b

@@ -35,11 +35,48 @@ if _plat:
 # executables with a machine-feature mismatch warning and then
 # intermittently SEGFAULTS (observed in the long stress suite); CPU
 # compiles are fast, so the cache only ever mattered for the remote
-# TPU toolchain.  YTTM_JAX_CACHE=force overrides.
+# TPU toolchain.  The CPU check cannot rely on JAX_PLATFORMS alone
+# (unset + no accelerator silently resolves to XLA:CPU — exactly the
+# segfaulting configuration), so the cache additionally requires an
+# accelerator plugin to be importable.  YTTM_JAX_CACHE=force overrides.
 _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
 _cache_flag = _os.environ.get("YTTM_JAX_CACHE", "1")
+
+
+def _accel_plugin_present() -> bool:
+    import importlib.util
+
+    for mod in ("libtpu", "jax_cuda12_plugin", "axon"):
+        try:
+            if importlib.util.find_spec(mod) is not None:
+                return True
+        except (ImportError, ValueError):
+            continue
+    return False
+
+
+def _default_cache_dir() -> str:
+    # per-user path: a fixed world-predictable /tmp dir could be
+    # pre-owned (permission failures) or seeded (jax deserializes
+    # cached executables = arbitrary code) by another local user
+    xdg = _os.environ.get("XDG_CACHE_HOME")
+    home = _os.path.expanduser("~")
+    if xdg:
+        return _os.path.join(xdg, "jax_cache_yttm")
+    if home and home != "~":
+        return _os.path.join(home, ".cache", "jax_cache_yttm")
+    try:
+        uid = _os.getuid()
+    except AttributeError:
+        uid = 0
+    return f"/tmp/jax_cache_yttm_{uid}"
+
+
 if _cache_flag != "0" and (
-    _cache_flag == "force" or (_plat or "").strip().lower() != "cpu"
+    _cache_flag == "force"
+    or (
+        (_plat or "").strip().lower() != "cpu" and _accel_plugin_present()
+    )
 ):
     try:
         import jax as _jax
@@ -47,7 +84,7 @@ if _cache_flag != "0" and (
         if _jax.config.jax_compilation_cache_dir is None:
             _jax.config.update(
                 "jax_compilation_cache_dir",
-                _cache_dir or "/tmp/jax_cache_yttm",
+                _cache_dir or _default_cache_dir(),
             )
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

@@ -209,13 +209,17 @@ def decode(model, ignore_ids):
     from .models.vocab import Vocabulary
 
     vocab = Vocabulary(BPEState.load(model))
-    data = sys.stdin.buffer.read()
-    if data and not data.endswith(b"\n"):
-        data += b"\n"
     sentinel = -(2**31)
-    flat = parse_ids(data, sentinel)
-    sys.stdout.buffer.write(vocab.decode_flat(flat, sentinel, ids))
-    sys.stdout.flush()
+    # line-at-a-time with a flush per line, exactly like the reference
+    # decode_cli loop (bpe.cpp:2016-2028): an interactive
+    # `yttm-tpu decode` pipe emits each line as it arrives
+    out = sys.stdout.buffer
+    for line in sys.stdin.buffer:
+        if not line.endswith(b"\n"):
+            line += b"\n"
+        flat = parse_ids(line, sentinel)
+        out.write(vocab.decode_flat(flat, sentinel, ids))
+        out.flush()
 
 
 @click.command()

@@ -107,6 +107,8 @@ class Encoder:
         # persistent cross-batch word cache for the native path (stable
         # uids + cached results; only novel words hit the device)
         self._wcache: Optional[fasttok.WordCache] = None
+        # host-side rule table for the merge dispatch crossover
+        self._rtab: Optional[fasttok.RuleTable] = None
         # data mesh over all visible devices (None on single-device
         # hosts); resolved lazily so Encoder construction never forces
         # backend init
@@ -179,6 +181,30 @@ class Encoder:
         return _encode_greedy_u16(
             self.tables, jnp.asarray(m16), np.int32(unk)
         )
+
+    def _ruletab(self) -> fasttok.RuleTable:
+        if self._rtab is None:
+            self._rtab = fasttok.RuleTable(self.state.rules)
+        return self._rtab
+
+    def _merge_policy(self, n_tokens: int) -> str:
+        """Dispatch crossover for novel-word merging: "host" (C++ greedy
+        merge, the latency arm) vs "device" (batched kernel, the
+        throughput arm).
+
+        Measured on the TPU-v5e-via-tunnel rig (PROFILE.md §1): a device
+        dispatch costs a tunnel round trip regardless of size, so small
+        novel-word batches — every warm-cache CLI chunk, and most cold
+        ones after dedup — are round-trip-bound while the host merges
+        them in microseconds-to-milliseconds.  The device arm pays off
+        only for very large cold batches (or multi-chip meshes), hence a
+        high default crossover.  YTTM_ENCODE_MERGE=host|device forces an
+        arm; YTTM_HOST_MERGE_TOKENS moves the auto threshold."""
+        mode = os.environ.get("YTTM_ENCODE_MERGE", "auto")
+        if mode in ("host", "device"):
+            return mode
+        thr = int(os.environ.get("YTTM_HOST_MERGE_TOKENS", str(1 << 22)))
+        return "host" if n_tokens <= thr else "device"
 
     def _word_cache(self) -> fasttok.WordCache:
         if self._wcache is None:
@@ -496,6 +522,13 @@ class Encoder:
         while the host is free (the CLI stream loop tokenizes the next
         chunk there, PROFILE.md §1)."""
         n_uniq = word_off.size - 1
+        if (
+            n_uniq
+            and fasttok.available()
+            and self._merge_policy(int(words_flat.size)) == "host"
+        ):
+            rf, ro = self._ruletab().merge_words(words_flat, word_off)
+            return ("host", rf, ro)
         lengths = np.diff(word_off).astype(np.int64)
         res_lens = np.zeros(n_uniq, np.int64)
         pending = []
@@ -547,6 +580,11 @@ class Encoder:
     def _merge_collect(self, st):
         """Stage 2: block on the device results and assemble the ragged
         (results_flat, res_off) in uid order."""
+        if st[0] == "host":
+            _, rf, ro = st
+            if self._zero_is_real:
+                rf, ro = self._strip_zero_heads(rf, ro)
+            return rf, ro.astype(np.int32)
         pending, monster_res, res_lens, n_uniq = st
         parts = []
         for sel, futs in pending:

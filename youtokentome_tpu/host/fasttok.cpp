@@ -280,6 +280,96 @@ struct Ctx {
   }
 };
 
+// Host-side greedy merge: rank-ordered rule table + per-word merge
+// loop.  This is the latency path of the encode crossover: novel-word
+// batches small enough that a remote device dispatch would be
+// round-trip-bound (PROFILE.md §1) merge here instead; large cold
+// batches still go to the device.  Semantics match the reference's
+// per-word priority-queue merge (bpe.cpp:1560-1589): repeatedly apply
+// the lowest-rank applicable rule, occurrences left to right — a
+// created pair always contains the new id z, and every rule containing
+// z has a higher rank (z must exist when learned), so applying ALL
+// occurrences of the current minimum-rank rule in one pass is exact.
+struct RuleTab {
+  // open addressing, (x << 32 | y) keys, empty = all-ones (ids < 2^31)
+  std::vector<uint64_t> key;
+  std::vector<int32_t> rank;
+  std::vector<int32_t> z;
+  uint64_t mask = 0;
+
+  static uint64_t mix(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    return k;
+  }
+
+  void init(const int32_t *rules, long n) {
+    size_t cap = 16;
+    while ((long)cap < 2 * n) cap <<= 1;
+    mask = cap - 1;
+    key.assign(cap, ~0ULL);
+    rank.assign(cap, -1);
+    z.assign(cap, -1);
+    for (long i = 0; i < n; i++) {
+      uint64_t k = ((uint64_t)(uint32_t)rules[3 * i] << 32) |
+                   (uint32_t)rules[3 * i + 1];
+      size_t s = mix(k) & mask;
+      while (key[s] != ~0ULL) {
+        if (key[s] == k) { s = ~(size_t)0; break; }  // keep lowest rank
+        s = (s + 1) & mask;
+      }
+      if (s == ~(size_t)0) continue;
+      key[s] = k;
+      rank[s] = (int32_t)i;
+      z[s] = rules[3 * i + 2];
+    }
+  }
+
+  // rank of rule (x, y), or INT32_MAX
+  inline int32_t find(int32_t x, int32_t y, int32_t *zz) const {
+    uint64_t k = ((uint64_t)(uint32_t)x << 32) | (uint32_t)y;
+    size_t s = mix(k) & mask;
+    while (key[s] != ~0ULL) {
+      if (key[s] == k) {
+        *zz = z[s];
+        return rank[s];
+      }
+      s = (s + 1) & mask;
+    }
+    return INT32_MAX;
+  }
+};
+
+// merge one word in place; returns the new length
+static long merge_word(const RuleTab &tab, int32_t *buf, long len) {
+  while (len > 1) {
+    int32_t best_rank = INT32_MAX, bx = 0, by = 0, bz = 0;
+    for (long i = 0; i + 1 < len; i++) {
+      int32_t zz;
+      int32_t r = tab.find(buf[i], buf[i + 1], &zz);
+      if (r < best_rank) {
+        best_rank = r;
+        bx = buf[i];
+        by = buf[i + 1];
+        bz = zz;
+      }
+    }
+    if (best_rank == INT32_MAX) break;
+    long w = 0, i = 0;
+    while (i < len) {
+      if (i + 1 < len && buf[i] == bx && buf[i + 1] == by) {
+        buf[w++] = bz;
+        i += 2;
+      } else {
+        buf[w++] = buf[i++];
+      }
+    }
+    len = w;
+  }
+  return len;
+}
+
 }  // namespace
 
 extern "C" {
@@ -616,6 +706,35 @@ long yttm_expand_ids(const int32_t *occ_stream, long n_occ,
     for (int32_t j = a; j < b; j++) out_ids[m++] = results_flat[j];
   }
   return m;
+}
+
+// -- host greedy merge ------------------------------------------------
+
+void *yttm_ruletab_new(const int32_t *rules, long n_rules) {
+  RuleTab *t = new RuleTab();
+  t->init(rules, n_rules);
+  return t;
+}
+
+void yttm_ruletab_free(void *t) { delete (RuleTab *)t; }
+
+// Merge every word of the ragged (flat, off[n_words+1]) batch.  Output
+// never exceeds input (merging shrinks), so out_flat is caller-sized to
+// off[n_words]; out_off gets n_words+1 entries.
+void yttm_merge_words(const void *tab, const int32_t *flat,
+                      const int64_t *off, long n_words, int32_t *out_flat,
+                      int64_t *out_off) {
+  const RuleTab &t = *(const RuleTab *)tab;
+  int64_t w = 0;
+  out_off[0] = 0;
+  for (long u = 0; u < n_words; u++) {
+    int64_t a = off[u], b = off[u + 1];
+    long len = (long)(b - a);
+    int32_t *dst = out_flat + w;
+    for (long i = 0; i < len; i++) dst[i] = flat[a + i];
+    w += merge_word(t, dst, len);
+    out_off[u + 1] = w;
+  }
 }
 
 }  // extern "C"

@@ -100,6 +100,17 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
                 ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ]
+            lib.yttm_ruletab_new.restype = ctypes.c_void_p
+            lib.yttm_ruletab_new.argtypes = [ctypes.c_void_p, ctypes.c_long]
+            lib.yttm_ruletab_free.restype = None
+            lib.yttm_ruletab_free.argtypes = [ctypes.c_void_p]
+            lib.yttm_merge_words.restype = None
+            lib.yttm_merge_words.argtypes = [
+                ctypes.c_void_p,                 # tab
+                ctypes.c_void_p, ctypes.c_void_p,  # flat, off
+                ctypes.c_long,                   # n_words
+                ctypes.c_void_p, ctypes.c_void_p,  # out_flat, out_off
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -289,6 +300,49 @@ class WordCache:
         if k < 0:
             raise RuntimeError("ctx expand capacity")
         return out[:k]
+
+
+class RuleTable:
+    """Persistent (x, y) -> (rank, z) rule hash for the host-side greedy
+    merge — the latency arm of the encode dispatch crossover (small
+    novel-word batches are round-trip-bound on remote devices)."""
+
+    def __init__(self, rules):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        r = np.ascontiguousarray(np.asarray(rules, np.int32).reshape(-1, 3))
+        self._tab = lib.yttm_ruletab_new(
+            r.ctypes.data_as(ctypes.c_void_p), r.shape[0]
+        )
+
+    def __del__(self):
+        try:
+            if self._tab:
+                self._lib.yttm_ruletab_free(self._tab)
+                self._tab = None
+        except Exception:
+            pass
+
+    def merge_words(
+        self, words_flat: np.ndarray, word_off: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Greedy-merge every word of the ragged batch; returns
+        (results_flat, res_off) in word order."""
+        flat = np.ascontiguousarray(words_flat, np.int32)
+        off = np.ascontiguousarray(word_off, np.int64)
+        n_words = off.size - 1
+        out_flat = np.empty(flat.size, np.int32)
+        out_off = np.empty(n_words + 1, np.int64)
+        self._lib.yttm_merge_words(
+            self._tab,
+            flat.ctypes.data_as(ctypes.c_void_p),
+            off.ctypes.data_as(ctypes.c_void_p),
+            n_words,
+            out_flat.ctypes.data_as(ctypes.c_void_p),
+            out_off.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out_flat[: out_off[-1]], out_off
 
 
 def expand_ids(

@@ -71,25 +71,11 @@ from .train_stream import (
     PAD,
     _topk_candidates,
     accept_prefix,
+    pair_hits as pair_hit_flags,  # one fused elementwise pass, no sorts
     pair_keys_and_weights_fw,
     sort_compact,
     store_rules,
 )
-
-
-def pair_hit_flags(t, wid, acc, cx, cy):
-    """Per-position flag: (t[i], t[i+1]) is an occurrence of an accepted
-    candidate (within a word).  One fused elementwise pass, no sorts."""
-    nxt_t = jnp.concatenate([t[1:], jnp.full((1,), PAD, t.dtype)])
-    nxt_w = jnp.concatenate([wid[1:], jnp.full((1,), PAD, wid.dtype)])
-    valid = (wid >= 0) & (wid == nxt_w)
-    hitk = (
-        valid[:, None]
-        & acc[None, :]
-        & (t[:, None] == cx[None, :])
-        & (nxt_t[:, None] == cy[None, :])
-    )
-    return jnp.any(hitk, axis=1), jnp.argmax(hitk, axis=1)
 
 
 def _apply_rowwise(t, wid, fw, hit, rix, zs, B: int):
@@ -147,7 +133,7 @@ def train_rounds_block(
     freq: jnp.ndarray,    # [WCAP] int32 word frequencies
     tk: jnp.ndarray,      # key tuple [pcap] (count table)
     tc: jnp.ndarray,      # [pcap] int32 exact pair counts
-    rules: jnp.ndarray,   # [vocab_size, 3] int32
+    rules: jnp.ndarray,   # [vocab_size, 4] int32 [x,y,z,cnt]
     used: jnp.ndarray,
     used_ids0: jnp.ndarray,
     limit: jnp.ndarray,
@@ -208,8 +194,11 @@ def train_rounds_block(
                 pcap,
             )
             # row-scatter the compacted mini blocks back (invalid slots
-            # are dropped via an out-of-range index)
-            bidx_put = jnp.where(validb, bidx, NB)
+            # are dropped via distinct out-of-range indices — duplicated
+            # fill indices would void the unique_indices contract)
+            bidx_put = jnp.where(
+                validb, bidx, NB + jnp.arange(KB, dtype=jnp.int32)
+            )
             t_out = t2d.at[bidx_put].set(
                 mt2.reshape(KB, B), mode="drop", unique_indices=True
             ).reshape(m)
@@ -237,7 +226,7 @@ def train_rounds_block(
         )
         table_overflow = n_live > pcap
 
-        rules = store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size)
+        rules = store_rules(rules, acc, cx, cy, cc, zs, used_ids0, vocab_size)
         used = used + n_acc
         return (t2, w2, f2), (tk2, tc2), rules, used, done, table_overflow
 
@@ -332,6 +321,7 @@ def run_training_block(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     resume_path: str | None = None,
+    progress_cb=None,
 ) -> List[Tuple[int, int, int]]:
     """Host driver: same contract as run_training_delta (progress /
     checkpoint; snapshots are host-compacted and cross-driver — resume
@@ -358,7 +348,7 @@ def run_training_block(
         rules = jnp.asarray(rules_j)
     else:
         t, wid, freq = flatten_word_buckets_blocked(buckets, B)
-        rules = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+        rules = jnp.full((vocab_size, 4), -1, dtype=jnp.int32)
         used = used_ids0
 
     td = jnp.asarray(t)
@@ -378,7 +368,14 @@ def run_training_block(
     tk, tc = _fit_table(uk, uc, pcap, wide)
 
     seg = min(
-        x for x in (progress_every, checkpoint_every, vocab_size) if x
+        x
+        for x in (
+            progress_every,
+            checkpoint_every,
+            1000 if progress_cb else 0,
+            vocab_size,
+        )
+        if x
     )
     t_start = time.time()
     while used < vocab_size:
@@ -402,6 +399,8 @@ def run_training_block(
                 pcap *= 2
             tk, tc = _fit_table(uk, uc, pcap, wide)
             continue
+        if progress_cb:
+            progress_cb(np.asarray(rules), used)
         if progress_every:
             n_merges = used - used_ids0
             dt = time.time() - t_start
@@ -423,7 +422,7 @@ def run_training_block(
     n = used - used_ids0
     if n < vocab_size - used_ids0:
         print(f"WARNING merged only: {used} pairs of tokens", file=sys.stderr)
-    out = np.asarray(rules[:n])
+    out = np.asarray(rules[:n, :3])
     return [tuple(map(int, r)) for r in out]
 
 

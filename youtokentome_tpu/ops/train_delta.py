@@ -215,7 +215,7 @@ def train_rounds_delta(
     freq: jnp.ndarray,    # [WCAP] int32 word frequencies
     tk: jnp.ndarray,      # [pcap] uint32 packed pair keys (count table)
     tc: jnp.ndarray,      # [pcap] int32 exact pair counts
-    rules: jnp.ndarray,   # [vocab_size, 3] int32
+    rules: jnp.ndarray,   # [vocab_size, 4] int32 [x,y,z,cnt]
     used: jnp.ndarray,    # scalar int32
     used_ids0: jnp.ndarray,
     limit: jnp.ndarray,   # scalar int32: pause once used >= limit
@@ -278,7 +278,7 @@ def train_rounds_delta(
         )
         table_overflow = n_live > pcap
 
-        rules = store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size)
+        rules = store_rules(rules, acc, cx, cy, cc, zs, used_ids0, vocab_size)
         used = used + n_acc
         return (t2, w2, fw2), (tk2, tc2), rules, used, done, table_overflow
 
@@ -392,6 +392,7 @@ def run_training_delta(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     resume_path: str | None = None,
+    progress_cb=None,
 ) -> List[Tuple[int, int, int]]:
     """Host driver: mirrors run_training_stream (same progress /
     checkpoint / resume contract; checkpoints are cross-compatible —
@@ -413,7 +414,7 @@ def run_training_delta(
         )
     else:
         t, wid, freq = flatten_word_buckets(buckets)
-        rules = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+        rules = jnp.full((vocab_size, 4), -1, dtype=jnp.int32)
         used = used_ids0
 
     td = jnp.asarray(t)
@@ -452,6 +453,7 @@ def run_training_delta(
             progress_every,
             checkpoint_every,
             1024 if repack else 0,
+            1000 if progress_cb else 0,
             vocab_size,
         )
         if x
@@ -485,6 +487,8 @@ def run_training_delta(
                 pcap *= 2
             tk, tc = _fit_table(uk, uc, pcap, wide)
             continue
+        if progress_cb:
+            progress_cb(np.asarray(rules), used)
         if progress_every:
             n_merges = used - used_ids0
             dt = time.time() - t_start
@@ -501,5 +505,5 @@ def run_training_delta(
     n = used - used_ids0
     if n < vocab_size - used_ids0:
         print(f"WARNING merged only: {used} pairs of tokens", file=sys.stderr)
-    out = np.asarray(rules[:n])
+    out = np.asarray(rules[:n, :3])
     return [tuple(map(int, r)) for r in out]

@@ -101,9 +101,9 @@ def train_rounds(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run merge rounds until vocab_size ids exist or no pairs remain.
 
-    Returns (rules [vocab_size, 3] int32 padded with -1, n_rules scalar).
+    Returns (rules [vocab_size, 4] int32 [x,y,z,cnt] padded with -1, n_rules scalar).
     """
-    rules0 = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+    rules0 = jnp.full((vocab_size, 4), -1, dtype=jnp.int32)
     buckets = tuple((t.astype(jnp.int32), f.astype(jnp.int32)) for t, f in buckets)
 
     def cond(state):
@@ -125,7 +125,7 @@ def train_rounds(
             bks, rules = args
             new_bks = tuple((apply_merge_rows(t, xb, yb, z), f) for t, f in bks)
             new_rules = rules.at[used - used_ids0].set(
-                jnp.stack([xb, yb, z]).astype(jnp.int32)
+                jnp.stack([xb, yb, z, c]).astype(jnp.int32)
             )
             return new_bks, new_rules
 
@@ -156,5 +156,5 @@ def run_training(
     n = int(n_rules)
     if used_ids0 + n < vocab_size:
         print(f"WARNING merged only: {used_ids0 + n} pairs of tokens", file=sys.stderr)
-    out = np.asarray(rules[:n])
+    out = np.asarray(rules[:n, :3])
     return [tuple(map(int, r)) for r in out]

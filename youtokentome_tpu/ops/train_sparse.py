@@ -159,7 +159,7 @@ def train_rounds_sparse(
     freq: jnp.ndarray,    # [WCAP] int32 word frequencies
     tk: jnp.ndarray,      # [pcap] uint32 packed pair keys (count table)
     tc: jnp.ndarray,      # [pcap] int32 exact pair counts
-    rules: jnp.ndarray,   # [vocab_size, 3] int32
+    rules: jnp.ndarray,   # [vocab_size, 4] int32 [x,y,z,cnt]
     used: jnp.ndarray,    # scalar int32
     used_ids0: jnp.ndarray,
     limit: jnp.ndarray,   # scalar int32: pause once used >= limit
@@ -230,7 +230,7 @@ def train_rounds_sparse(
         )
         table_overflow = n_live > pcap
 
-        rules = store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size)
+        rules = store_rules(rules, acc, cx, cy, cc, zs, used_ids0, vocab_size)
         used = used + n_acc
         return (t2, fw), (tk2, tc2), rules, used, done, table_overflow
 
@@ -267,6 +267,7 @@ def run_training_sparse(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     resume_path: str | None = None,
+    progress_cb=None,
 ) -> List[Tuple[int, int, int]]:
     """Host driver: same contract as run_training_delta (progress /
     checkpoint / resume; snapshots are host-compacted so they stay
@@ -280,7 +281,7 @@ def run_training_sparse(
         )
     else:
         t, wid, freq = flatten_word_buckets(buckets)
-        rules = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+        rules = jnp.full((vocab_size, 4), -1, dtype=jnp.int32)
         used = used_ids0
 
     td = jnp.asarray(t)
@@ -306,7 +307,16 @@ def run_training_sparse(
     )
     tk, tc = _fit_table(uk, uc, pcap, wide)
 
-    seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)
+    seg = min(
+        x
+        for x in (
+            progress_every,
+            checkpoint_every,
+            1000 if progress_cb else 0,
+            vocab_size,
+        )
+        if x
+    )
     t_start = time.time()
     while used < vocab_size:
         limit = min(vocab_size, used + seg)
@@ -324,6 +334,8 @@ def run_training_sparse(
                 pcap *= 2
             tk, tc = _fit_table(uk, uc, pcap, wide)
             continue
+        if progress_cb:
+            progress_cb(np.asarray(rules), used)
         if progress_every:
             n_merges = used - used_ids0
             dt = time.time() - t_start
@@ -342,5 +354,5 @@ def run_training_sparse(
     n = used - used_ids0
     if n < vocab_size - used_ids0:
         print(f"WARNING merged only: {used} pairs of tokens", file=sys.stderr)
-    out = np.asarray(rules[:n])
+    out = np.asarray(rules[:n, :3])
     return [tuple(map(int, r)) for r in out]

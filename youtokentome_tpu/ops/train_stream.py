@@ -178,10 +178,13 @@ def apply_accepted(t, wid, acc, cx, cy, zs, extra=(), hit=None, rix=None):
     return outs
 
 
-def store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size):
+def store_rules(rules, acc, cx, cy, cc, zs, used_ids0, vocab_size):
+    """Record accepted merges as [x, y, z, count] rows.  The count column
+    feeds the reference-parity progress line (freq, bpe.cpp:1210) and is
+    dropped from the final rule list."""
     slot = jnp.where(acc, zs - used_ids0, vocab_size)
     return rules.at[slot].set(
-        jnp.stack([cx, cy, zs], axis=1).astype(jnp.int32), mode="drop"
+        jnp.stack([cx, cy, zs, cc], axis=1).astype(jnp.int32), mode="drop"
     )
 
 
@@ -223,7 +226,7 @@ def train_rounds_resumable(
     t: jnp.ndarray,      # [M] int32 tokens, PAD-padded
     wid: jnp.ndarray,    # [M] int32 word ids, PAD-padded
     freq: jnp.ndarray,   # [WCAP] int32 word frequencies
-    rules: jnp.ndarray,  # [vocab_size, 3] int32 rules so far (-1 padded)
+    rules: jnp.ndarray,  # [vocab_size, 4] int32 [x,y,z,cnt] rules so far (-1 padded)
     used: jnp.ndarray,   # scalar int32: ids used so far
     used_ids0: jnp.ndarray,
     limit: jnp.ndarray,  # scalar int32: pause once used >= limit
@@ -273,7 +276,7 @@ def train_rounds_resumable(
         acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, kb)
         done = n_acc == 0
         t2, w2 = apply_accepted(t, wid, acc, cx, cy, zs)
-        rules = store_rules(rules, acc, cx, cy, zs, used_ids0, vocab_size)
+        rules = store_rules(rules, acc, cx, cy, cc, zs, used_ids0, vocab_size)
         used = used + n_acc
         return (t2, w2), rules, used, done
 
@@ -358,7 +361,7 @@ def save_snapshot(path, t, wid, freq, rules, used: int, used_ids0: int):
 
 def load_snapshot(path, used_ids0: int, vocab_size: int):
     """Load a save_snapshot file: re-pad the stream to a power of two
-    and the rules to the resuming run's [vocab_size, 3]."""
+    and the rules to the resuming run's [vocab_size, 4]."""
     snap = np.load(path)
     if int(snap["used_ids0"]) != used_ids0:
         raise ValueError(
@@ -376,9 +379,9 @@ def load_snapshot(path, used_ids0: int, vocab_size: int):
     wp = np.full(m, PAD, np.int32)
     tp[: t.size] = t
     wp[: wid.size] = wid
-    rules_h = np.full((vocab_size, 3), -1, np.int32)
+    rules_h = np.full((vocab_size, 4), -1, np.int32)
     stored = np.asarray(snap["rules"], np.int32)
-    rules_h[: stored.shape[0]] = stored[: used - used_ids0]
+    rules_h[: stored.shape[0], : stored.shape[1]] = stored[: used - used_ids0]
     return tp, wp, freq, jnp.asarray(rules_h), used
 
 
@@ -391,6 +394,7 @@ def run_training_stream(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     resume_path: str | None = None,
+    progress_cb=None,
 ) -> List[Tuple[int, int, int]]:
     """Host driver for the device training fixed point.
 
@@ -414,7 +418,7 @@ def run_training_stream(
         )
     else:
         t, wid, freq = flatten_word_buckets(buckets)
-        rules = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+        rules = jnp.full((vocab_size, 4), -1, dtype=jnp.int32)
         used = used_ids0
 
     td = jnp.asarray(t)
@@ -422,7 +426,14 @@ def run_training_stream(
     fd = jnp.asarray(freq)
     u0 = jnp.asarray(used_ids0, jnp.int32)
     seg = min(
-        x for x in (progress_every, checkpoint_every, vocab_size) if x
+        x
+        for x in (
+            progress_every,
+            checkpoint_every,
+            1000 if progress_cb else 0,
+            vocab_size,
+        )
+        if x
     )
     t_start = time.time()
     while used < vocab_size:
@@ -432,6 +443,8 @@ def run_training_stream(
             jnp.asarray(limit, jnp.int32), vocab_size, batch_k,
         )
         used = int(used_d)
+        if progress_cb:
+            progress_cb(np.asarray(rules), used)
         if progress_every:
             n_merges = used - used_ids0
             dt = time.time() - t_start
@@ -448,5 +461,5 @@ def run_training_stream(
     n = used - used_ids0
     if n < vocab_size - used_ids0:
         print(f"WARNING merged only: {used} pairs of tokens", file=sys.stderr)
-    out = np.asarray(rules[:n])
+    out = np.asarray(rules[:n, :3])
     return [tuple(map(int, r)) for r in out]

@@ -241,7 +241,7 @@ def train_from_codepoints_distributed(
     tkd = to_global(tuple(np.asarray(k) for k in tk), P())
     tcd = to_global(np.asarray(tc), P())
     rules_d = to_global(
-        np.full((vocab_size, 3), -1, np.int32), P()
+        np.full((vocab_size, 4), -1, np.int32), P()
     )
     u0 = to_global(np.asarray(used_ids0, np.int32), P())
 
@@ -280,7 +280,7 @@ def train_from_codepoints_distributed(
     n = used - used_ids0
     if n < vocab_size - used_ids0 and pid == 0:
         print(f"WARNING merged only: {used} pairs of tokens", file=sys.stderr)
-    rules_h = np.asarray(rules_d.addressable_data(0))[:n]
+    rules_h = np.asarray(rules_d.addressable_data(0))[:n, :3]
     rules = [tuple(map(int, r)) for r in rules_h]
 
     char2id, rules = rename_tokens(alphabet.char2id, rules, special, vocab_size)

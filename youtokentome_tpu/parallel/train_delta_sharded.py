@@ -160,7 +160,7 @@ def _train_delta_sharded(
             )
             table_overflow = n_live > pcap
 
-            rules = store_rules(rules, acc, cx, cy, zs, used0, vocab_size)
+            rules = store_rules(rules, acc, cx, cy, cc, zs, used0, vocab_size)
             used = used + n_acc
             nrec = nrec + any_recount.astype(jnp.int32)
             return (
@@ -234,6 +234,7 @@ def run_training_delta_sharded(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     resume_path: str | None = None,
+    progress_cb=None,
 ) -> List[Tuple[int, int, int]]:
     """Bit-identical to run_training_delta at any device count.
 
@@ -253,7 +254,7 @@ def run_training_delta_sharded(
         rules = np.asarray(rules)
     else:
         t, wid, freq = flatten_word_buckets(buckets)
-        rules = np.full((vocab_size, 3), -1, dtype=np.int32)
+        rules = np.full((vocab_size, 4), -1, dtype=np.int32)
         used = used_ids0
     seg_t, seg_w, per = _shard_stream(np.asarray(t), np.asarray(wid), n_dev)
 
@@ -293,6 +294,7 @@ def run_training_delta_sharded(
             progress_every,
             checkpoint_every,
             1024 if repack else 0,
+            1000 if progress_cb else 0,
             vocab_size,
         )
         if x
@@ -332,6 +334,8 @@ def run_training_delta_sharded(
             tkd = jax.device_put(tk, rep)
             tcd = jax.device_put(tc, rep)
             continue
+        if progress_cb:
+            progress_cb(np.asarray(rules), used)
         if progress_every:
             n_merges = used - used_ids0
             dt = time.time() - t_start
@@ -356,5 +360,5 @@ def run_training_delta_sharded(
             f"WARNING merged only: {used} pairs of tokens",
             file=sys.stderr,
         )
-    out = np.asarray(rules_d[:n])
+    out = np.asarray(rules_d[:n])[:, :3]
     return [tuple(map(int, r)) for r in out]

@@ -39,7 +39,7 @@ def _train_rounds_sharded(buckets, used_ids0, vocab_size, mesh_ref):
     mesh = mesh_ref.mesh
 
     def run(bks, used0):
-        rules0 = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+        rules0 = jnp.full((vocab_size, 4), -1, dtype=jnp.int32)
 
         def cond(state):
             _, _, used, done = state
@@ -66,7 +66,7 @@ def _train_rounds_sharded(buckets, used_ids0, vocab_size, mesh_ref):
                     (apply_merge_rows(t, xb, yb, z), f) for t, f in bks
                 )
                 new_rules = rules.at[used - used0].set(
-                    jnp.stack([xb, yb, z]).astype(jnp.int32)
+                    jnp.stack([xb, yb, z, c]).astype(jnp.int32)
                 )
                 return new_bks, new_rules
 
@@ -152,5 +152,5 @@ def run_training_sharded(
     n = int(n_rules)
     if used_ids0 + n < vocab_size:
         print(f"WARNING merged only: {used_ids0 + n} pairs of tokens", file=sys.stderr)
-    out = np.asarray(rules[:n])
+    out = np.asarray(rules[:n, :3])
     return [tuple(map(int, r)) for r in out]

@@ -168,7 +168,7 @@ def _train_sparse_sharded(
             )
             table_overflow = n_live > pcap
 
-            rules = store_rules(rules, acc, cx, cy, zs, used0, vocab_size)
+            rules = store_rules(rules, acc, cx, cy, cc, zs, used0, vocab_size)
             used = used + n_acc
             nrec = nrec + any_recount.astype(jnp.int32)
             return (
@@ -238,6 +238,7 @@ def run_training_sparse_sharded(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     resume_path: str | None = None,
+    progress_cb=None,
 ) -> List[Tuple[int, int, int]]:
     """Bit-identical to run_training_sparse at any device count.
 
@@ -257,7 +258,7 @@ def run_training_sparse_sharded(
         rules = np.asarray(rules)
     else:
         t, wid, freq = flatten_word_buckets(buckets)
-        rules = np.full((vocab_size, 3), -1, dtype=np.int32)
+        rules = np.full((vocab_size, 4), -1, dtype=np.int32)
         used = used_ids0
     seg_t, seg_w, per = _shard_stream(t, wid, n_dev)
 
@@ -293,7 +294,16 @@ def run_training_sparse_sharded(
     rules_d = jax.device_put(jnp.asarray(rules, jnp.int32), rep)
     u0 = jax.device_put(jnp.asarray(used_ids0, jnp.int32), rep)
 
-    seg = min(x for x in (progress_every, checkpoint_every, vocab_size) if x)
+    seg = min(
+        x
+        for x in (
+            progress_every,
+            checkpoint_every,
+            1000 if progress_cb else 0,
+            vocab_size,
+        )
+        if x
+    )
     t_start = time.time()
     tot_rec = 0
     tot_rounds = 0
@@ -327,6 +337,8 @@ def run_training_sparse_sharded(
             tkd = jax.device_put(tk, rep)
             tcd = jax.device_put(tc, rep)
             continue
+        if progress_cb:
+            progress_cb(np.asarray(rules), used)
         if progress_every:
             n_merges = used - used_ids0
             dt = time.time() - t_start
@@ -351,5 +363,5 @@ def run_training_sparse_sharded(
             f"WARNING merged only: {used} pairs of tokens",
             file=sys.stderr,
         )
-    out = np.asarray(rules_d[:n])
+    out = np.asarray(rules_d[:n])[:, :3]
     return [tuple(map(int, r)) for r in out]

@@ -43,7 +43,7 @@ def _train_sharded(t, wid, freq, used_ids0, vocab_size, batch_k, mesh_ref):
     mesh = mesh_ref.mesh
 
     def run(t, wid, freq, used0):
-        rules0 = jnp.full((vocab_size, 3), -1, dtype=jnp.int32)
+        rules0 = jnp.full((vocab_size, 4), -1, dtype=jnp.int32)
 
         def cond(state):
             _, _, used, done = state
@@ -62,7 +62,7 @@ def _train_sharded(t, wid, freq, used_ids0, vocab_size, batch_k, mesh_ref):
             acc, zs, n_acc = accept_prefix(cc, cx, cy, used, vocab_size, batch_k)
             done = n_acc == 0
             t2, w2 = apply_accepted(t, wid, acc, cx, cy, zs)
-            rules = store_rules(rules, acc, cx, cy, zs, used0, vocab_size)
+            rules = store_rules(rules, acc, cx, cy, cc, zs, used0, vocab_size)
             return (t2, w2), rules, used + n_acc, done
 
         (_, _), rules, used, _ = lax.while_loop(
@@ -132,5 +132,5 @@ def run_training_stream_sharded(
     n = int(n_rules)
     if used_ids0 + n < vocab_size:
         print(f"WARNING merged only: {used_ids0 + n} pairs of tokens", file=sys.stderr)
-    out = np.asarray(rules[:n])
+    out = np.asarray(rules[:n, :3])
     return [tuple(map(int, r)) for r in out]

@@ -17,6 +17,7 @@ from typing import Optional
 
 import numpy as np
 
+from . import progress
 from .host import preprocess
 from .models.state import BPEState, BpeConfig, check_config
 from .ops.train_block import run_training_block
@@ -106,6 +107,13 @@ def train_from_codepoints(
         checkpoint_path=os.environ.get("YTTM_TRAIN_CHECKPOINT") or None,
         checkpoint_every=int(os.environ.get("YTTM_TRAIN_CHECKPOINT_EVERY", "0")),
         resume_path=os.environ.get("YTTM_TRAIN_RESUME") or None,
+        # the reference logs a merge line every 1000 ids BY DEFAULT
+        # (bpe.cpp:1198-1219); YTTM_TRAIN_LOG=0 silences it
+        progress_cb=(
+            progress.MergeLog(alphabet.char2id)
+            if progress.log_enabled()
+            else None
+        ),
     )
     mesh = _training_mesh(buckets) if impl in ("auto", "sparse") else None
     if mesh is not None and impl == "sparse":
@@ -145,6 +153,10 @@ def train(
 ) -> BPEState:
     """File-based training (train_bpe, bpe.cpp:1368-1388)."""
     config = config or BpeConfig()
+    config = check_config(config, vocab_size)
+    # the reference prints the full config before reading the corpus
+    # (print_config, bpe.cpp:1374)
+    progress.print_config(data_path, model_path or "", vocab_size, config)
     print("reading file...", file=sys.stderr)
     try:
         with open(data_path, "rb") as f:
