@@ -97,6 +97,52 @@ def cli_chunks(blob):
         start = end
 
 
+def probe_device() -> float:
+    """One tiny device op, timed (a wedged tunnel takes minutes)."""
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    _ = int(jnp.arange(8).sum())
+    return time.time() - t0
+
+
+def wait_device_ready(budget_s: float = 1800.0, fast_s: float = 5.0) -> dict:
+    """Probe until the device answers fast, within a bounded budget.
+
+    The axon tunnel wedge (PROFILE.md) makes device ops take minutes,
+    then self-heal — a benchmark that measures through the wedge records
+    environment noise as a regression.  Returns {ready, last_probe_s,
+    waited_s, attempts}; sections re-probe so a mid-run wedge delays
+    rather than poisons the artifact."""
+    import jax
+
+    t_start = time.time()
+    attempts = 0
+    while True:
+        dt = probe_device()
+        attempts += 1
+        waited = time.time() - t_start
+        log(
+            f"device probe ({jax.devices()[0].platform}) "
+            f"#{attempts}: {dt:.1f}s"
+        )
+        if dt <= fast_s:
+            return {
+                "ready": True,
+                "last_probe_s": round(dt, 2),
+                "waited_s": round(waited, 1),
+                "attempts": attempts,
+            }
+        if waited > budget_s:
+            return {
+                "ready": False,
+                "last_probe_s": round(dt, 2),
+                "waited_s": round(waited, 1),
+                "attempts": attempts,
+            }
+        time.sleep(10)
+
+
 def median(xs):
     return float(np.median(np.asarray(xs, dtype=np.float64)))
 
@@ -147,17 +193,19 @@ def main():
     anomalies = []
 
     # device health probe: a wedged TPU tunnel (documented failure mode)
-    # makes every number garbage — record the probe so the artifact
-    # distinguishes "regression" from "environment"
+    # makes every number garbage.  The wedge self-heals in minutes, so a
+    # slow probe is retried inside a bounded budget and the artifact
+    # records the recovery wait instead of publishing poisoned numbers;
+    # only a tunnel that never recovers yields an anomaly-flagged
+    # refusal.
     import jax
-    import jax.numpy as jnp
 
-    t0 = time.time()
-    _ = int(jnp.arange(8).sum())
-    probe_s = time.time() - t0
-    log(f"device probe ({jax.devices()[0].platform}): {probe_s:.1f}s")
-    if probe_s > 60:
-        anomalies.append(f"device_probe_{probe_s:.0f}s")
+    probe_info = wait_device_ready(
+        budget_s=float(os.environ.get("YTTM_BENCH_PROBE_BUDGET", "1800"))
+    )
+    probe_s = probe_info["last_probe_s"]
+    if not probe_info["ready"]:
+        anomalies.append(f"device_wedged_refusal_{probe_s:.0f}s")
 
     log("building corpora...")
     corpus = build_corpus(target_mb)
@@ -215,7 +263,42 @@ def main():
         }
         log(f"  train {smb}MB: {dt:.1f}s")
 
+    # -- training at 100 MB / vocab 30k (BASELINE configs 2-3 scale point;
+    # the reference's headline train number is 4.2 s, benchmark.md:23) --
+    big_info = None
+    big_default = "1" if jax.default_backend() != "cpu" else "0"
+    if os.environ.get("YTTM_BENCH_TRAIN_100MB", big_default) != "0":
+        path = "/tmp/bench_corpus_100mb.txt"
+        if not os.path.exists(path):
+            log("building 100MB corpus (cached to /tmp)...")
+            big = build_corpus(100, n_unique_words=1500000, seed=3)
+            with open(path, "w") as f:
+                f.write(big[: 100 * 1_000_000])
+            del big
+        rp = wait_device_ready(budget_s=900)
+        if not rp["ready"]:
+            anomalies.append("train100_probe_wedged")
+        log("training 100MB / vocab 30000...")
+        with open(path) as f:
+            big_text = f.read()
+        dt, bstate = time_train(big_text, 30000, cfg)
+        del big_text
+        big_info = {
+            "size_mb": 100,
+            "vocab": 30000,
+            "total_s": round(dt, 2),
+            "merges": len(bstate.rules),
+            "merges_per_s": round(len(bstate.rules) / max(dt, 1e-9), 1),
+            "reference_s": 4.2,
+            "probe_wait_s": rp["waited_s"],
+        }
+        del bstate
+        log(f"  train 100MB: {dt:.1f}s")
+
     # -- encode: cli path (3 reps), api path (2 reps), non-ASCII -----------
+    rp = wait_device_ready(budget_s=900)
+    if not rp["ready"]:
+        anomalies.append("encode_probe_wedged")
     enc = Encoder(state)
     enc.encode_text_cli(data[: 1 << 20])  # warmup: compile all kernels
 
@@ -240,6 +323,23 @@ def main():
     log("non-ascii cli-path...")
     ru_vals = measure_cli(lambda: Encoder(state), ru_data, 2)
 
+    # -- BPE-dropout encode (BASELINE config 4; occurrences are sampled
+    # independently, so dedup/caching is off — measured, not assumed) --
+    drop_mb = float(os.environ.get("YTTM_BENCH_DROPOUT_MB", "4"))
+    drop_sents = []
+    acc = 0
+    for s in sentences:
+        drop_sents.append(s)
+        acc += len(s) + 1
+        if acc >= drop_mb * 1_000_000:
+            break
+    t0 = time.time()
+    _ = enc.encode(drop_sents, "id", dropout_prob=0.1)
+    drop_dt = time.time() - t0
+    dropout_mbps = acc / 1e6 / drop_dt
+    log(f"  dropout(p=0.1): {acc/1e6:.1f}MB in {drop_dt:.2f}s "
+        f"-> {dropout_mbps:.1f} MB/s")
+
     headline = median(cli_vals)
     out = {
         "metric": "tokenize_throughput_zipf40MB",
@@ -248,6 +348,7 @@ def main():
         "vs_baseline": round(headline / REFERENCE_MBPS, 3),
         "platform": jax.devices()[0].platform,
         "device_probe_s": round(probe_s, 2),
+        "probe": probe_info,
         "tokenize_mbps": {"reps": [round(v, 2) for v in cli_vals],
                           "median": round(headline, 2)},
         "api_mbps": {"reps": [round(v, 2) for v in api_vals],
@@ -256,6 +357,8 @@ def main():
                           "median": round(median(ru_vals), 2)},
         "train": train_info,
         "train_scale": scale_info,
+        "train_100mb": big_info,
+        "dropout_mbps": round(dropout_mbps, 2),
         "anomaly": bool(anomalies),
         "anomaly_detail": anomalies,
     }

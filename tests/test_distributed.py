@@ -26,6 +26,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from youtokentome_tpu.parallel import distributed as dist
+pcap = %(pcap)d
+if pcap:
+    os.environ["YTTM_TRAIN_PCAP"] = str(pcap)
 dist.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
 text = %(text)r
 # split at a word boundary near the middle (the caller's contract)
@@ -66,7 +69,7 @@ def test_two_process_training_matches_single(tmp_path):
     single = train_from_codepoints(cps, vocab, cfg)
 
     worker = tmp_path / "worker.py"
-    worker.write_text(WORKER % {"repo": REPO, "text": text, "vocab": vocab})
+    worker.write_text(WORKER % {"repo": REPO, "text": text, "vocab": vocab, "pcap": 0})
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -94,3 +97,70 @@ def test_two_process_training_matches_single(tmp_path):
     assert dict((int(k), int(v)) for k, v in results[0]["char2id"]) == {
         int(k): int(v) for k, v in single.char2id.items()
     }
+
+
+def test_two_process_overflow_retry(tmp_path):
+    """A pair-table overflow mid-run must double-and-retry, not burn the
+    job (the single-host drivers' contract, train_delta.py): pcap is
+    pinned to the INITIAL pair-kind count so the early growth overflows,
+    and the retried run must still match single-process training."""
+    rng = random.Random(7)
+    text = "".join(
+        rng.choice("abcde ") if rng.randrange(2) else rng.choice("abcde") * rng.randint(2, 4)
+        for _ in range(800)
+    )
+    vocab = 60
+
+    from youtokentome_tpu.models.state import BpeConfig, SpecialTokens
+    from youtokentome_tpu.train import train_from_codepoints
+
+    cps = np.array([ord(c) for c in text], dtype=np.uint32)
+    cfg = BpeConfig(1.0, -1, SpecialTokens(0, 1, 2, 3))
+    single = train_from_codepoints(cps, vocab, cfg)
+
+    # pin pcap to next_pow2(initial pair kinds): any kind growth overflows
+    from youtokentome_tpu.host import preprocess
+    from youtokentome_tpu.ops.train_delta import _next_pow2, host_count_table
+    from youtokentome_tpu.ops.train_stream import flatten_word_buckets
+
+    uniq, cnt, dl = preprocess.char_frequencies(cps)
+    alpha = preprocess.build_alphabet(uniq, cnt, dl, 1.0, 4)
+    t, wid, freq = flatten_word_buckets(
+        preprocess.training_word_buckets(cps, alpha)
+    )
+    uk, _ = host_count_table(t, wid, freq)
+    pcap = _next_pow2(uk.size)
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        WORKER % {"repo": REPO, "text": text, "vocab": vocab, "pcap": pcap}
+    )
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    outs = [str(tmp_path / f"out{p}.json") for p in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(p), str(port), outs[p]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for p in range(2)
+    ]
+    errs = []
+    for p, proc in enumerate(procs):
+        try:
+            _, err = proc.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        errs.append(err.decode())
+        assert proc.returncode == 0, f"worker {p} failed:\n{errs[-1][-3000:]}"
+
+    assert "pair-count table overflow: retrying" in errs[0], (
+        "overflow retry never triggered; shrink pcap in this test:\n"
+        + errs[0][-2000:]
+    )
+    results = [json.load(open(o)) for o in outs]
+    assert results[0] == results[1]
+    assert [tuple(r) for r in results[0]["rules"]] == single.rules

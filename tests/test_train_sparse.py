@@ -252,3 +252,86 @@ def test_reduce_by_key_wide_large_ids():
     }
     assert got == ref
     assert np.all(kox[int(nk):] == 0xFFFFFFFF)
+
+
+def test_wide_vocab_mints_real_wide_ids():
+    """End-to-end wide-vocab exactness with ids REALLY above 65536 (the
+    reference has no vocab limit; bpe.cpp uses 32-bit ids throughout).
+
+    A ~65k-character alphabet pushes used_ids0 just below 65536, so the
+    merges cross it and the two-component lexicographic tie-break runs
+    on genuinely wide ids (the narrow path packs (x,y) into one uint32
+    and cannot represent them).  v2/v4/v5 trainers must agree, the
+    model must round-trip through encode, and merged ids >= 65536 must
+    decode back to their surface strings."""
+    import random
+
+    from youtokentome_tpu.host import preprocess
+    from youtokentome_tpu.models.state import (
+        BPEState, BpeConfig, SpecialTokens, check_config,
+    )
+    from youtokentome_tpu.ops.train_block import run_training_block
+    from youtokentome_tpu.ops.train_delta import run_training_delta
+    from youtokentome_tpu.ops.train_tiered import run_training_tiered
+    from youtokentome_tpu.oracle import rename_tokens
+
+    rng = random.Random(41)
+    # ~65k distinct single-char words (inflate used_ids0 to ~65509) plus
+    # frequent multi-char words over a 500-char pool whose higher-count
+    # pairs drive every learned merge (and their chains) past 65536
+    cps_pool = [
+        cp
+        for r in (
+            range(0x2000, 0xD7FF),
+            range(0x10000, 0x14000),
+            range(0x14000, 0x18000),
+        )
+        for cp in r
+        if cp != 0x2581
+    ]
+    singles = cps_pool[:65000]
+    words = [(chr(cp), rng.randint(1, 9)) for cp in singles]
+    pool = [chr(cp) for cp in cps_pool[65000:65500]]
+    for _ in range(1500):
+        w = "".join(rng.choice(pool) for _ in range(rng.randint(2, 5)))
+        words.append((w, rng.randint(1, 50)))
+    parts = []
+    for w, f in words:
+        parts.extend([w] * f)
+    rng.shuffle(parts)
+    text = " ".join(parts)
+
+    cps = np.fromiter((ord(c) for c in text), np.uint32, len(text))
+    uniq, cnt, dl = preprocess.char_frequencies(cps)
+    alpha = preprocess.build_alphabet(uniq, cnt, dl, 1.0, 4)
+    buckets = preprocess.training_word_buckets(cps, alpha)
+    used0 = len(alpha.char2id) + 4
+    assert 65000 < used0 < 65536, used0
+    vocab = 65900
+
+    delta = run_training_delta(buckets, used0, vocab)
+    block = run_training_block(buckets, used0, vocab)
+    tiered = run_training_tiered(buckets, used0, vocab)
+    assert block == delta
+    assert tiered == delta
+    wide_zs = [z for _, _, z in delta if z >= 65536]
+    assert len(wide_zs) > 300, (len(delta), len(wide_zs))
+    wide_xy = [(x, y) for x, y, _ in delta if x >= 65536 or y >= 65536]
+    assert wide_xy, "no rule ever consumed a wide id"
+
+    special = SpecialTokens(0, 1, 2, 3)
+    char2id, rules = rename_tokens(alpha.char2id, delta, special, vocab)
+    state = BPEState(char2id=char2id, rules=rules, special_tokens=special)
+    check_config(BpeConfig(1.0, 1, special), vocab)
+
+    from youtokentome_tpu.encoder import Encoder
+    from youtokentome_tpu.models.vocab import Vocabulary
+
+    enc = Encoder(state)
+    v = Vocabulary(state)
+    sample = [w for w, _ in words[-40:]] + [w for w, _ in words[:5]]
+    sents = [" ".join(sample[i::7]) for i in range(7)]
+    ids = enc.encode(sents, "id")
+    assert max(x for s in ids for x in s) >= 65536
+    for s, row in zip(sents, ids):
+        assert v.decode_ids(row) == s

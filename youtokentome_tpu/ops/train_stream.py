@@ -117,7 +117,7 @@ def pair_keys_and_weights_fw(t, wid, fw):
     return kx, ky, w
 
 
-def accept_prefix(cc, cx, cy, used, vocab_size, kb):
+def accept_prefix(cc, cx, cy, used, vocab_size, kb, min_count=None):
     """Longest prefix of tie-ordered candidates with no intersection
     against an earlier accepted candidate (stop, don't skip).
 
@@ -126,14 +126,19 @@ def accept_prefix(cc, cx, cy, used, vocab_size, kb):
     sequential scan vectorizes: fail(j) = zero count, intersection with
     ANY earlier candidate, or id budget exhausted; accept everything
     before the first failure.  O(k^2) data-parallel ops instead of k
-    sequential steps (which serialize the while-loop round body)."""
+    sequential steps (which serialize the while-loop round body).
+
+    ``min_count`` (dynamic, default 0) raises the count floor: the v5
+    hot tier only guarantees global order for counts strictly above its
+    threshold (ops/train_tiered.py)."""
     remaining = vocab_size - used
+    floor = 0 if min_count is None else min_count
     j = jnp.arange(kb)
     earlier = j[None, :] < j[:, None]  # [j, i]: i earlier than j
     inter = earlier & (
         (cy[None, :] == cx[:, None]) | (cx[None, :] == cy[:, None])
     )
-    fail = (cc <= 0) | jnp.any(inter, axis=1) | (j >= remaining)
+    fail = (cc <= floor) | jnp.any(inter, axis=1) | (j >= remaining)
     # first failing index (kb if none)
     first_fail = jnp.min(jnp.where(fail, j, kb))
     acc = j < first_fail

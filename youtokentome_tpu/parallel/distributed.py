@@ -187,15 +187,20 @@ def train_from_codepoints_distributed(
     # global initial count table: local exact tables folded on the host
     from ..ops.train_sparse import _host_table_tomb
 
-    lk, lc = _host_table_tomb(t, wid, gfreq)
-    k_parts = _allgather_var(lk.astype(np.uint64), i64=True)
-    c_parts = _allgather_var(lc.astype(np.int64), i64=True)
-    ak = np.concatenate(k_parts)
-    ac = np.concatenate(c_parts)
-    gk, inv = np.unique(ak, return_inverse=True)
-    gcnt = np.zeros(gk.size, np.int64)
-    np.add.at(gcnt, inv, ac)
-    uk, uc = gk, gcnt.astype(np.int32)
+    def _fold_global_table(t_loc: np.ndarray, w_loc: np.ndarray):
+        """Exact global pair-count table from every process's local
+        stream shard (the distributed mirror of host_count_table)."""
+        lk, lc = _host_table_tomb(t_loc, w_loc, gfreq)
+        k_parts = _allgather_var(lk.astype(np.uint64), i64=True)
+        c_parts = _allgather_var(lc.astype(np.int64), i64=True)
+        ak = np.concatenate(k_parts)
+        ac = np.concatenate(c_parts)
+        gk, inv = np.unique(ak, return_inverse=True)
+        gcnt = np.zeros(gk.size, np.int64)
+        np.add.at(gcnt, inv, ac)
+        return gk, gcnt.astype(np.int32)
+
+    uk, uc = _fold_global_table(t, wid)
 
     # shard the local stream across LOCAL devices at word boundaries,
     # padded to a globally agreed power-of-two capacity
@@ -261,11 +266,32 @@ def train_from_codepoints_distributed(
         )
         used = int(np.asarray(used_d.addressable_data(0)))
         if bool(np.asarray(overflow.addressable_data(0))):
-            raise RuntimeError(
-                "pair-count table overflow in distributed training; "
-                "set YTTM_TRAIN_PCAP higher (the single-host drivers "
-                "retry automatically, the multi-host skeleton does not)"
+            # double-and-retry, same contract as the single-host driver
+            # (train_delta.py): rebuild the exact global table from the
+            # live stream shards and continue — a long multi-host run
+            # must survive a table overflow.  The doubled-pcap program
+            # is one extra compile (persistent-cached across runs);
+            # every process takes this branch together because
+            # ``overflow`` is replicated.
+            pcap *= 2
+            if pid == 0:
+                print(
+                    f"pair-count table overflow: retrying with pcap={pcap}",
+                    file=sys.stderr,
+                )
+            lt = np.concatenate(
+                [np.asarray(s.data) for s in td.addressable_shards]
             )
+            lw = np.concatenate(
+                [np.asarray(s.data) for s in wd.addressable_shards]
+            )
+            gk, gcv = _fold_global_table(lt, lw)
+            while pcap < gk.size:
+                pcap *= 2
+            tk, tc = _fit_table(gk, gcv, pcap, wide)
+            tkd = to_global(tuple(np.asarray(k) for k in tk), P())
+            tcd = to_global(np.asarray(tc), P())
+            continue
         if progress_every and pid == 0:
             n_merges = used - used_ids0
             dt = time.time() - t_start

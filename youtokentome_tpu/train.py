@@ -24,6 +24,7 @@ from .ops.train_block import run_training_block
 from .ops.train_delta import run_training_delta
 from .ops.train_sparse import run_training_sparse
 from .ops.train_stream import run_training_stream
+from .ops.train_tiered import run_training_tiered
 from .ops.utf8 import decode_utf8_bytes
 from .oracle import rename_tokens
 from .parallel.train_delta_sharded import run_training_delta_sharded
@@ -130,14 +131,17 @@ def train_from_codepoints(
         rules = run_training_stream(buckets, used_ids0, vocab_size, **kwargs)
     elif impl == "block":
         rules = run_training_block(buckets, used_ids0, vocab_size, **kwargs)
+    elif impl == "tiered":
+        rules = run_training_tiered(buckets, used_ids0, vocab_size, **kwargs)
     elif impl == "auto" and sum(
         int((mat >= 0).sum()) for mat, _ in buckets
-    ) >= (1 << 23):
-        # measured at 100 MB / vocab 30k on the chip (PROFILE.md §3c):
-        # block 466 s vs delta 631 s warm — the block trainer wins once
-        # per-round full-stream sorts dominate.  run_training_block
+    ) >= (1 << 22):
+        # measured at 100 MB / vocab 30k on the chip (PROFILE.md §3):
+        # the v5 tiered trainer's hot/cold count table and
+        # signature-gated block tiers remove the per-round table-sized
+        # sorts that dominate v2/v4 at scale.  run_training_tiered
         # falls back to delta itself when a word exceeds the block cap.
-        rules = run_training_block(buckets, used_ids0, vocab_size, **kwargs)
+        rules = run_training_tiered(buckets, used_ids0, vocab_size, **kwargs)
     else:  # auto (small/medium single device) and delta
         rules = run_training_delta(buckets, used_ids0, vocab_size, **kwargs)
 
