@@ -4,7 +4,10 @@ Counterpart of the reference's tests/speed_test/speed_test.py: trains
 both implementations on the same corpus, encodes the same text, times
 both, and asserts the outputs are IDENTICAL.  Run manually:
 
-    python tests/speed_test.py [MB] [vocab]
+    python tests/speed_test.py [MB] [vocab] [train_MB]
+
+``train_MB`` (default 2) sizes the training corpus — the BASELINE
+scale-ladder configs train on the full corpus (e.g. 100 and 500).
 
 Not part of CI (timings only mean something on real hardware).
 """
@@ -25,6 +28,7 @@ sys.path.insert(0, str(REPO / "tests"))
 def main():
     mb = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     vocab = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    train_mb = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     import subprocess
 
@@ -33,11 +37,11 @@ def main():
 
     assert build_refcli() is not None, "reference toolchain unavailable"
 
-    corpus = build_corpus(mb)
+    corpus = build_corpus(mb, n_unique_words=max(30000, 15000 * train_mb))
     data = (corpus + "\n").encode()
     train_path = "/tmp/speedtest_train.txt"
     with open(train_path, "wb") as f:
-        f.write(data[:2_000_000])
+        f.write(data[: train_mb * 1_000_000])
     full_path = "/tmp/speedtest_full.txt"
     with open(full_path, "wb") as f:
         f.write(data)
@@ -90,7 +94,7 @@ def main():
 
     mbf = len(data) / 1e6
     print(f"corpus: {mbf:.1f} MB, vocab {vocab}")
-    print(f"train 2MB:  reference {ref_train_s:6.2f}s   tpu {our_train_s:6.2f}s")
+    print(f"train {train_mb}MB:  reference {ref_train_s:6.2f}s   tpu {our_train_s:6.2f}s")
     print(
         f"encode:     reference {ref_enc_s:6.2f}s ({mbf/ref_enc_s:5.1f} MB/s)"
         f"   tpu {our_enc_s:6.2f}s ({mbf/our_enc_s:5.1f} MB/s)"

@@ -176,3 +176,38 @@ def test_host_merge_words_matches_device(model, monkeypatch):
     monkeypatch.setenv("YTTM_ENCODE_MERGE", "host")
     b = Encoder(model).encode_text_cli(data)
     assert a == b
+
+
+def test_dropout_native_path(model, monkeypatch):
+    """BPE-dropout via the C++ per-occurrence merge: p=1 must equal the
+    matrix path's p=1 (no merges at all), p=0 must equal greedy, and the
+    same key must reproduce the same sample (the reference's unseeded
+    shared-RNG race is fixed by explicit seeding)."""
+    if not fasttok.available():
+        pytest.skip("native helper unavailable")
+    import jax
+
+    monkeypatch.setenv("YTTM_ENCODE_BACKEND", "native")
+    enc = Encoder(model)
+    s = _sentences(21)
+    p1 = enc.encode(s, "id", dropout_prob=1.0)
+    monkeypatch.setenv("YTTM_DROPOUT_NATIVE", "0")
+    assert p1 == enc.encode(s, "id", dropout_prob=1.0)
+    monkeypatch.delenv("YTTM_DROPOUT_NATIVE")
+    joined = ("\n".join(s) + "\n").encode()
+    assert enc._encode_ids_dropout_native(
+        joined, len(s), False, False, False, 0.0, None
+    ) == enc.encode(s, "id")
+    k = jax.random.PRNGKey(3)
+    a = enc.encode(s, "id", dropout_prob=0.4, key=k)
+    assert a == enc.encode(s, "id", dropout_prob=0.4, key=k)
+    # every sampled id must decode back to the input (merge-or-not never
+    # changes the surface string)
+    from youtokentome_tpu.models.vocab import Vocabulary
+    from youtokentome_tpu.oracle import OracleEncoder
+
+    oracle = OracleEncoder(model)
+    v = Vocabulary(model)
+    ref = oracle.encode(s, "id")
+    for row, rrow, sent in zip(a, ref, s):
+        assert v.decode_ids(row) == v.decode_ids(rrow), sent

@@ -408,6 +408,25 @@ class Encoder:
         if n_sent == 0:
             return []
 
+        if (
+            output_type == "id"
+            and dropout_prob > 0.0
+            and _encode_backend() == "native"
+            and fasttok.available()
+            and not self._zero_is_real
+            and os.environ.get("YTTM_DROPOUT_NATIVE", "1") != "0"
+        ):
+            # dropout disables dedup/caching (every occurrence samples
+            # independently, bpe.cpp:1415-1453) — the matrix path pays a
+            # padded device row per OCCURRENCE, so dropout encodes run
+            # through the C++ tokenizer + per-occurrence host merge
+            joined = "\n".join(sentences) + "\n"
+            if joined.count("\n") == n_sent:
+                return self._encode_ids_dropout_native(
+                    joined.encode("utf-8"), n_sent, bos, eos, reverse,
+                    dropout_prob, key,
+                )
+
         if output_type == "id" and dropout_prob == 0.0:
             # fast paths operate on a newline-joined byte stream; need no
             # sentence to embed a newline (it would break the marking)
@@ -698,6 +717,51 @@ class Encoder:
         flat = wc.expand_ids(occ)
         st = self.state.special_tokens
         marks = np.nonzero(flat == -1)[0]
+        assert marks.size == n_sent, (marks.size, n_sent)
+        big = flat.tolist()
+        bounds = [0] + (marks + 1).tolist()
+        pre = [st.bos_id] if bos else []
+        post = [st.eos_id] if eos else []
+        result = []
+        for i in range(n_sent):
+            ids = big[bounds[i] : bounds[i + 1] - 1]
+            if bos or eos:
+                ids = pre + ids + post
+            if reverse:
+                ids.reverse()
+            result.append(ids)
+        return result
+
+    def _encode_ids_dropout_native(
+        self, data: bytes, n_sent: int, bos: bool, eos: bool,
+        reverse: bool, p: float, key,
+    ) -> List[List[int]]:
+        """ID-mode BPE-dropout via the C++ tokenizer + per-occurrence
+        host merge (DropoutQueue semantics, bpe.cpp:1415-1453; explicit
+        seed instead of the reference's shared unseeded mt19937)."""
+        words_flat, word_off, occ, _ = fasttok.tokenize(
+            data, self._sorted_cps, self._sorted_ids, self.space_id
+        )
+        if key is None:
+            seed = int.from_bytes(os.urandom(8), "little")
+        else:
+            import hashlib
+
+            import jax
+
+            kd = np.asarray(jax.random.key_data(key)).tobytes()
+            seed = int.from_bytes(
+                hashlib.blake2b(kd, digest_size=8).digest(), "little"
+            )
+        flat = self._ruletab().merge_occurrences_dropout(
+            words_flat, word_off, occ, p, seed
+        )
+        st = self.state.special_tokens
+        sent_mark = flat == -1
+        flat = np.where(
+            (flat >= PLACEHOLDER_START) & ~sent_mark, st.unk_id, flat
+        )
+        marks = np.nonzero(sent_mark)[0]
         assert marks.size == n_sent, (marks.size, n_sent)
         big = flat.tolist()
         bounds = [0] + (marks + 1).tolist()

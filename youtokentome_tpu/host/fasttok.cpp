@@ -16,6 +16,7 @@
 // All functions return -1 on insufficient capacity (caller grows and
 // retries) and are exposed via ctypes (see fasttok.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <memory>
@@ -340,6 +341,60 @@ struct RuleTab {
     return INT32_MAX;
   }
 };
+
+// splitmix64: small deterministic rng for the dropout merge
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed) {}
+  uint64_t next() {
+    uint64_t z = (s += 0x9e3779b97f4a7c15ULL);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+  }
+  double uniform() {  // [0, 1)
+    return (double)(next() >> 11) * (1.0 / 9007199254740992.0);
+  }
+};
+
+// BPE-dropout merge of one occurrence, in place; returns new length.
+//
+// Mirror of the reference's DropoutQueue semantics (bpe.cpp:1415-1453):
+// candidates are considered in (rank, pos) order; each considered
+// candidate is independently skipped with probability p; the first
+// survivor is applied (that single occurrence); skipped candidates are
+// reconsidered with fresh coins after every applied merge; a full pass
+// with no survivor ends the word.  Unlike the reference's shared
+// unseeded mt19937 (a data race under threads), the seed is explicit.
+static long merge_word_dropout(const RuleTab &tab, int32_t *buf, long len,
+                               double p, Rng &rng) {
+  std::vector<std::pair<uint64_t, int32_t>> cands;  // (rank<<32|pos, z)
+  while (len > 1) {
+    cands.clear();
+    for (long i = 0; i + 1 < len; i++) {
+      int32_t zz;
+      int32_t r = tab.find(buf[i], buf[i + 1], &zz);
+      if (r != INT32_MAX)
+        cands.emplace_back(((uint64_t)(uint32_t)r << 32) | (uint32_t)i, zz);
+    }
+    if (cands.empty()) break;
+    std::sort(cands.begin(), cands.end());
+    long pos = -1;
+    int32_t z = 0;
+    for (auto &c : cands) {
+      if (rng.uniform() >= p) {
+        pos = (long)(uint32_t)(c.first & 0xFFFFFFFFULL);
+        z = c.second;
+        break;
+      }
+    }
+    if (pos < 0) break;  // every candidate dropped: word is done
+    buf[pos] = z;
+    for (long i = pos + 1; i + 1 < len; i++) buf[i] = buf[i + 1];
+    len--;
+  }
+  return len;
+}
 
 // merge one word in place; returns the new length
 static long merge_word(const RuleTab &tab, int32_t *buf, long len) {
@@ -721,6 +776,35 @@ void yttm_ruletab_free(void *t) { delete (RuleTab *)t; }
 // Merge every word of the ragged (flat, off[n_words+1]) batch.  Output
 // never exceeds input (merging shrinks), so out_flat is caller-sized to
 // off[n_words]; out_off gets n_words+1 entries.
+// Dropout-merge every OCCURRENCE of the ragged word batch: occ holds
+// uids >= 0 (each sampled independently with fresh coins) or -1 line
+// sentinels (emitted as a single -1).  Returns the emitted length, or
+// -1 on capacity overflow.
+long yttm_merge_occurrences_dropout(const void *tab, const int32_t *flat,
+                                    const int64_t *off, const int32_t *occ,
+                                    long n_occ, double p, uint64_t seed,
+                                    int32_t *out_flat, long out_cap) {
+  const RuleTab &t = *(const RuleTab *)tab;
+  Rng rng(seed);
+  std::vector<int32_t> buf;
+  long w = 0;
+  for (long i = 0; i < n_occ; i++) {
+    int32_t u = occ[i];
+    if (u < 0) {
+      if (w + 1 > out_cap) return -1;
+      out_flat[w++] = -1;
+      continue;
+    }
+    int64_t a = off[u], b = off[u + 1];
+    long len = (long)(b - a);
+    buf.assign(flat + a, flat + b);
+    len = merge_word_dropout(t, buf.data(), len, p, rng);
+    if (w + len > out_cap) return -1;
+    for (long j = 0; j < len; j++) out_flat[w++] = buf[j];
+  }
+  return w;
+}
+
 void yttm_merge_words(const void *tab, const int32_t *flat,
                       const int64_t *off, long n_words, int32_t *out_flat,
                       int64_t *out_off) {

@@ -111,6 +111,14 @@ def _load():
                 ctypes.c_long,                   # n_words
                 ctypes.c_void_p, ctypes.c_void_p,  # out_flat, out_off
             ]
+            lib.yttm_merge_occurrences_dropout.restype = ctypes.c_long
+            lib.yttm_merge_occurrences_dropout.argtypes = [
+                ctypes.c_void_p,                 # tab
+                ctypes.c_void_p, ctypes.c_void_p,  # flat, off
+                ctypes.c_void_p, ctypes.c_long,  # occ, n_occ
+                ctypes.c_double, ctypes.c_uint64,  # p, seed
+                ctypes.c_void_p, ctypes.c_long,  # out_flat, out_cap
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -343,6 +351,35 @@ class RuleTable:
             out_off.ctypes.data_as(ctypes.c_void_p),
         )
         return out_flat[: out_off[-1]], out_off
+
+    def merge_occurrences_dropout(
+        self,
+        words_flat: np.ndarray,
+        word_off: np.ndarray,
+        occ: np.ndarray,
+        p: float,
+        seed: int,
+    ) -> np.ndarray:
+        """BPE-dropout merge of every occurrence in the occ stream (uid
+        entries sample independently; -1 sentinels pass through).
+        Returns the flat id stream with -1 line marks."""
+        flat = np.ascontiguousarray(words_flat, np.int32)
+        off = np.ascontiguousarray(word_off, np.int64)
+        occ = np.ascontiguousarray(occ, np.int32)
+        lens = np.diff(off)
+        cap = int(lens[occ[occ >= 0]].sum()) + occ.size + 4
+        out = np.empty(cap, np.int32)
+        k = self._lib.yttm_merge_occurrences_dropout(
+            self._tab,
+            flat.ctypes.data_as(ctypes.c_void_p),
+            off.ctypes.data_as(ctypes.c_void_p),
+            occ.ctypes.data_as(ctypes.c_void_p), occ.size,
+            float(p), seed & 0xFFFFFFFFFFFFFFFF,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+        )
+        if k < 0:
+            raise RuntimeError("dropout merge capacity")
+        return out[:k]
 
 
 def expand_ids(

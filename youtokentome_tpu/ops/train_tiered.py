@@ -306,26 +306,27 @@ def train_rounds_tiered(
         is_refresh = ~use_hot
 
         def fold_full(args):
+            """Refresh: exact full table + its top-k candidates (the
+            pcap-sized fold and candidate sort run ONLY here)."""
             ck, ccold, qk, qv = args
             fk, fc, n_live = _reduce_by_key(
                 _concat_keys(ck, qk), jnp.concatenate([ccold, qv]), pcap
             )
-            return fk, fc, n_live
+            fxs, fys = _unpack_key(fk)
+            ccf, cxf, cyf = _topk_candidates(
+                fc, fxs, fys, kb, narrow=not wide
+            )
+            return fk, fc, n_live, ccf, cxf, cyf
 
         def keep_cold(args):
             ck, ccold, _, _ = args
-            return ck, ccold, jnp.asarray(0, jnp.int32)
+            z = jnp.asarray(0, jnp.int32)
+            return ck, ccold, z, cch, cxh, cyh
 
-        bk, bc, n_live0 = lax.cond(
+        bk, bc, n_live0, cc, cx, cy = lax.cond(
             is_refresh, fold_full, keep_cold, (ck, ccold, qk, qv)
         )
         overflow_pre = is_refresh & (n_live0 > pcap)
-
-        bxs, bys = _unpack_key(bk)
-        ccf, cxf, cyf = _topk_candidates(bc, bxs, bys, kb, narrow=not wide)
-        cc = jnp.where(is_refresh, ccf, cch)
-        cx = jnp.where(is_refresh, cxf, cxh)
-        cy = jnp.where(is_refresh, cyf, cyh)
 
         thresh = jnp.where(is_refresh, 0, T)
         acc, zs, n_acc = accept_prefix(
