@@ -235,7 +235,7 @@ def train_rounds_tiered(
     fw0 = freq[jnp.maximum(wid, 0)] * (wid >= 0)
 
     def cond(state):
-        _, _, _, _, _, used, done, overflow = state
+        _, _, _, _, _, used, done, overflow, _ = state
         return (~done) & (~overflow) & (used < jnp.minimum(vocab_size, limit))
 
     def tier_mini(args, KB: int):
@@ -296,7 +296,7 @@ def train_rounds_tiered(
 
     def body(state):
         (t, wid, fw, sig), (hk, hc, T), (ck, ccold), (qk, qv, qn), rules, \
-            used, _, _ = state
+            used, _, _, stats = state
 
         # -- selection: hot tier, or full refresh fold ------------------
         hxs, hys = _unpack_key(hk)
@@ -415,12 +415,18 @@ def train_rounds_tiered(
 
         rules = store_rules(rules, acc, cx, cy, cc, zs, used_ids0, vocab_size)
         used = used + n_acc
+        stats = stats + jnp.stack([
+            jnp.asarray(1, jnp.int32),
+            is_refresh.astype(jnp.int32),
+            ((n_baff > KB1) & (n_baff <= KB2)).astype(jnp.int32),
+            (n_baff > KB2).astype(jnp.int32),
+        ])
         return (
             (t2, w2, f2, sig2), (hkn, hcn, Tn), (ckn, ccn),
-            (qkn, qvn, qnn), rules, used, done, overflow,
+            (qkn, qvn, qnn), rules, used, done, overflow, stats,
         )
 
-    (t2, w2, _, sig2), hot, cold, pend, rules, used, done, overflow = (
+    (t2, w2, _, sig2), hot, cold, pend, rules, used, done, overflow, stats = (
         lax.while_loop(
             cond,
             body,
@@ -436,12 +442,14 @@ def train_rounds_tiered(
                 used.astype(jnp.int32),
                 jnp.asarray(False),
                 jnp.asarray(False),
+                jnp.zeros((4,), jnp.int32),
             ),
         )
     )
     n_stream = jnp.sum((t2 >= 0).astype(jnp.int32))
     return (
-        t2, w2, sig2, hot, cold, pend, rules, used, done, overflow, n_stream
+        t2, w2, sig2, hot, cold, pend, rules, used, done, overflow,
+        n_stream, stats,
     )
 
 
@@ -509,22 +517,25 @@ def _fold_rows(t, wid, B: int):
 
 
 def flatten_word_buckets_blocked_snug(buckets, B: int):
-    """Block layout with NB rounded to a multiple of 1024 instead of a
-    power of two: the v4 pow-2 padding cost up to 2x on every
-    full-stream op, and v5 holds a single compiled shape per corpus (no
-    re-packing), so snug is strictly better here."""
-    from .train_block import flatten_word_buckets_blocked
+    """Snug block layout: words grouped by EXACT length (the v4 blocked
+    flatten packed whole pow-2 length-class rows, which left ~45% of
+    block slots as padding on natural word-length mixes) and NB rounded
+    to a multiple of 1024 instead of a power of two (up to another 2x).
+    Every full-stream op scales with NB * B, so both matter."""
+    from .train_block import _reblock_flat
+    from .train_stream import flatten_word_buckets
 
-    t, wid, freq = flatten_word_buckets_blocked(buckets, B)
-    NB = t.size // B
-    # find the last non-empty block and trim the pow-2 padding
-    t2d = t.reshape(NB, B)
+    t, wid, freq = flatten_word_buckets(buckets)
+    live = wid >= 0
+    tb, wb = _reblock_flat(t[live], wid[live], B)
+    NB = tb.size // B
+    t2d = tb.reshape(NB, B)
     live_rows = int(np.max(np.nonzero((t2d >= 0).any(axis=1))[0], initial=0)) + 1
     nb2 = max(-(-live_rows // 1024) * 1024, 1024)
     nb2 = min(nb2, NB)
     return (
         t2d[:nb2].reshape(-1),
-        wid.reshape(NB, B)[:nb2].reshape(-1),
+        wb.reshape(NB, B)[:nb2].reshape(-1),
         freq,
     )
 
@@ -626,7 +637,7 @@ def run_training_tiered(
         limit = min(vocab_size, used + seg)
         (
             td, wd, sigd, (hk, hc, Td), (ck, ccold), (qk, qv, qn_d),
-            rules, used_d, done, overflow, _ns,
+            rules, used_d, done, overflow, _ns, stats,
         ) = train_rounds_tiered(
             td, wd, fd, sigd, hk, hc, Td, ck, ccold, qk, qv,
             jnp.asarray(qn, jnp.int32), rules,
@@ -666,9 +677,12 @@ def run_training_tiered(
         if progress_every:
             n_merges = used - used_ids0
             dt = time.time() - t_start
+            st = [int(x) for x in np.asarray(stats)]
             print(
                 f"id: {used}/{vocab_size}  merges: {n_merges}  "
-                f"({dt:.1f}s, {n_merges / max(dt, 1e-9):.0f} merges/s)",
+                f"({dt:.1f}s, {n_merges / max(dt, 1e-9):.0f} merges/s)  "
+                f"seg rounds={st[0]} refresh={st[1]} mid={st[2]} "
+                f"full={st[3]} m={td.shape[0]}",
                 file=sys.stderr,
             )
         if checkpoint_path and checkpoint_every and used < vocab_size:

@@ -43,6 +43,12 @@ def decode_utf8_bytes(data: bytes | np.ndarray, keep_invalid: bool = True) -> np
     if n == 0:
         return np.empty(0, dtype=np.uint32)
 
+    # pure-ASCII shortcut: one comparison pass instead of the ~10
+    # full-width temporaries of the general path (a 100 MB English
+    # corpus spent ~half its preprocessing here)
+    if not np.any(b >= 0x80):
+        return b.astype(np.uint32)
+
     b32 = b.astype(np.uint32)
     is_cont = (b & 0xC0) == 0x80
 
