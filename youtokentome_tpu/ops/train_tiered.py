@@ -516,6 +516,13 @@ def _fold_rows(t, wid, B: int):
     return nt.reshape(-1), nw.reshape(-1), sig_build(nt)
 
 
+def _max_word_len(buckets) -> int:
+    return max(
+        (int((mat >= 0).sum(1).max()) for mat, _ in buckets if mat.size),
+        default=1,
+    )
+
+
 def flatten_word_buckets_blocked_snug(buckets, B: int):
     """Snug block layout: words grouped by EXACT length (the v4 blocked
     flatten packed whole pow-2 length-class rows, which left ~45% of
@@ -557,7 +564,14 @@ def run_training_tiered(
     if not buckets:
         print(f"WARNING merged only: {used_ids0} pairs of tokens", file=sys.stderr)
         return []
+    # smaller blocks than v4's 128 floor: with ~19 words per 128-token
+    # block, a pair touching 0.5% of words touches ~9% of blocks and
+    # forces the expensive tiers; at B=64 (~8 words/block) block-hit-rate
+    # tracks word-hit-rate ~2x closer at ~93% packing fill
     B = block_size_for(buckets)
+    if B:
+        floor = int(os.environ.get("YTTM_TRAIN_B", "64"))
+        B = max(min(B, max(floor, _next_pow2(_max_word_len(buckets)))), 1)
     if B == 0:
         from .train_delta import run_training_delta
 
