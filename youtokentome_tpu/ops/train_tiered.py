@@ -193,7 +193,7 @@ def host_resplit(uk: np.ndarray, uc: np.ndarray, hcap: int, wide: bool):
     jax.jit,
     static_argnames=(
         "vocab_size", "batch_k", "pcap", "hcap", "dcap", "qcap",
-        "B", "KB1", "KB2",
+        "B", "KB1", "KBm", "KB2",
     ),
 )
 def train_rounds_tiered(
@@ -221,6 +221,7 @@ def train_rounds_tiered(
     qcap: int = 1 << 20,
     B: int = 128,
     KB1: int = 1 << 10,
+    KBm: int = 1 << 13,
     KB2: int = 1 << 14,
 ):
     """Resumable tiered merge rounds (module docstring).  Same driver
@@ -231,7 +232,8 @@ def train_rounds_tiered(
     m = t.shape[0]
     NB = m // B
     KB1 = min(KB1, NB)
-    KB2 = min(max(KB2, KB1), NB)
+    KBm = min(max(KBm, KB1), NB)
+    KB2 = min(max(KB2, KBm), NB)
     fw0 = freq[jnp.maximum(wid, 0)] * (wid >= 0)
 
     def cond(state):
@@ -346,9 +348,14 @@ def train_rounds_tiered(
             n_baff <= KB1,
             lambda a: tier_mini(a, KB1),
             lambda a: lax.cond(
-                n_baff <= KB2,
-                lambda b: tier_mini(b, KB2),
-                tier_full,
+                n_baff <= KBm,
+                lambda b: tier_mini(b, KBm),
+                lambda b: lax.cond(
+                    n_baff <= KB2,
+                    lambda c: tier_mini(c, KB2),
+                    tier_full,
+                    b,
+                ),
                 a,
             ),
             targs,
@@ -599,8 +606,15 @@ def run_training_tiered(
     NB = m // B
     wide = vocab_size > 65535
     uk, uc = host_count_table(t, wid, freq)
+    # floor the budget at m/8: live pair kinds on large corpora exceed
+    # the per-merge growth model by far (measured: two overflow retries
+    # at 100 MB cost ~36 s of host recounts mid-run)
     pcap = int(os.environ.get("YTTM_TRAIN_PCAP", "0")) or min(
-        _pcap_budget(uk.size, vocab_size - used_ids0), _next_pow2(m)
+        max(
+            _pcap_budget(uk.size, vocab_size - used_ids0),
+            _next_pow2(m) >> 3,
+        ),
+        _next_pow2(m),
     )
     hcap = int(os.environ.get("YTTM_TRAIN_HCAP", "0")) or min(
         _next_pow2(max(1 << 15, 2 * (vocab_size - used_ids0))), pcap
@@ -608,8 +622,11 @@ def run_training_tiered(
     KB1 = int(os.environ.get("YTTM_TRAIN_KB1", "0")) or min(
         max(256, _next_pow2(NB >> 6)), 1 << 11
     )
+    KBm = int(os.environ.get("YTTM_TRAIN_KBM", "0")) or min(
+        max(4 * KB1, _next_pow2(NB >> 5)), 1 << 13
+    )
     KB2 = int(os.environ.get("YTTM_TRAIN_KB2", "0")) or min(
-        _next_pow2(max(NB >> 3, KB1)), 1 << 15
+        _next_pow2(max(NB >> 3, KBm)), 1 << 15
     )
     dcap = int(os.environ.get("YTTM_TRAIN_DCAP2", "0")) or max(
         2 * KB1 * B, 1 << 16
