@@ -22,23 +22,23 @@ def main():
 
 @click.command()
 @click.option("--data", type=click.Path(exists=True), required=True,
-              help="Training data file path.")
+              help="Path to the text corpus to train on.")
 @click.option("--model", type=click.Path(), required=True,
-              help="Output model file path.")
+              help="Where to write the trained model.")
 @click.option("--vocab_size", type=click.INT, required=True,
-              help="Number of tokens in the final vocabulary.")
+              help="Total id count of the learned vocabulary.")
 @click.option("--coverage", type=click.FLOAT, default=1.0, show_default=True,
               help="Fraction of characters the alphabet must cover (rare chars drop out).")
 @click.option("--n_threads", type=click.INT, default=-1, show_default=True,
-              help="Number of threads.")
+              help="Worker parallelism (-1 = all available).")
 @click.option("--pad_id", type=click.INT, default=0, show_default=True,
-              help="Padding token id.")
+              help="Id reserved for <PAD>.")
 @click.option("--unk_id", type=click.INT, default=1, show_default=True,
-              help="Unknown token id.")
+              help="Id reserved for <UNK>.")
 @click.option("--bos_id", type=click.INT, default=2, show_default=True,
-              help="Begin of sentence token id.")
+              help="Id reserved for <BOS>.")
 @click.option("--eos_id", type=click.INT, default=3, show_default=True,
-              help="End of sentence token id.")
+              help="Id reserved for <EOS>.")
 def bpe(data, model, vocab_size, coverage, n_threads, pad_id, unk_id, bos_id, eos_id):
     """Train BPE model."""
     from .api import BPE
@@ -58,11 +58,11 @@ def bpe(data, model, vocab_size, coverage, n_threads, pad_id, unk_id, bos_id, eo
 
 @click.command()
 @click.option("--model", type=click.Path(exists=True), required=True,
-              help="Trained model file.")
+              help="Path of a trained model.")
 @click.option("--output_type", type=click.Choice(["id", "subword"]), required=True,
               help="'id' or 'subword'.")
 @click.option("--n_threads", type=click.INT, default=-1, show_default=True,
-              help="Number of threads.")
+              help="Worker parallelism (-1 = all available).")
 @click.option("--bos", is_flag=True, help="Prepend the begin-of-sentence token to every line.")
 @click.option("--eos", is_flag=True, help="Append the end-of-sentence token to every line.")
 @click.option("--reverse", is_flag=True, help="Emit each line's tokens in reverse order.")
@@ -191,7 +191,7 @@ def encode(model, output_type, n_threads, bos, eos, reverse, stream, dropout_pro
 
 @click.command()
 @click.option("--model", type=click.Path(exists=True), required=True,
-              help="Trained model file.")
+              help="Path of a trained model.")
 @click.option("--ignore_ids", type=click.STRING, required=False,
               help="Comma-separated ids to skip when decoding, e.g. --ignore_ids=1,2,3")
 def decode(model, ignore_ids):
@@ -224,7 +224,7 @@ def decode(model, ignore_ids):
 
 @click.command()
 @click.option("--model", type=click.Path(exists=True), required=True,
-              help="Trained model file.")
+              help="Path of a trained model.")
 @click.option("--verbose", is_flag=True, help="Also print each token's merge rule.")
 def vocab(model, verbose):
     """Print list of learned subwords."""

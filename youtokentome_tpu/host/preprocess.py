@@ -43,7 +43,13 @@ def char_frequencies(cps: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
     item including spaces and invalid sentinels (bpe.cpp:839-857)."""
     data_len = int(cps.size)
     m = ~space_mask(cps) & (cps != INVALID_UNICODE)
-    uniq, cnt = np.unique(cps[m], return_counts=True)
+    sel = cps[m]
+    if sel.size and int(sel.max()) < (1 << 16):
+        # BMP-ish corpora: bincount is one pass vs np.unique's sort
+        counts = np.bincount(sel)
+        uniq = np.nonzero(counts)[0].astype(cps.dtype)
+        return uniq, counts[uniq].astype(np.int64), data_len
+    uniq, cnt = np.unique(sel, return_counts=True)
     return uniq, cnt.astype(np.int64), data_len
 
 

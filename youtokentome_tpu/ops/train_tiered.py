@@ -606,13 +606,13 @@ def run_training_tiered(
     NB = m // B
     wide = vocab_size > 65535
     uk, uc = host_count_table(t, wid, freq)
-    # floor the budget at m/8: live pair kinds on large corpora exceed
-    # the per-merge growth model by far (measured: two overflow retries
-    # at 100 MB cost ~36 s of host recounts mid-run)
+    # floor the budget at m/4: live pair kinds on large corpora exceed
+    # the per-merge growth model by far (measured: overflow retries at
+    # 100 MB cost ~18 s of host recount + re-entry each)
     pcap = int(os.environ.get("YTTM_TRAIN_PCAP", "0")) or min(
         max(
             _pcap_budget(uk.size, vocab_size - used_ids0),
-            _next_pow2(m) >> 3,
+            _next_pow2(m) >> 2,
         ),
         _next_pow2(m),
     )
@@ -692,6 +692,10 @@ def run_training_tiered(
             m = int(td.shape[0])
         if bool(overflow):
             pcap *= 2
+            print(
+                f"pair-count table overflow: retrying with pcap={pcap}",
+                file=sys.stderr,
+            )
             tn = np.asarray(td)
             wn = np.asarray(wd)
             live = tn >= 0
