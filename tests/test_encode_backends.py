@@ -211,3 +211,64 @@ def test_dropout_native_path(model, monkeypatch):
     ref = oracle.encode(s, "id")
     for row, rrow, sent in zip(a, ref, s):
         assert v.decode_ids(row) == v.decode_ids(rrow), sent
+
+
+def test_native_training_buckets_match_numpy():
+    """The C++ split+dedup training preprocessing must produce the same
+    word multiset (and the same learned rules) as the numpy path, across
+    charsets, run-heavy text, the meta-space char, and whitespace kinds;
+    rare-char removal must fall back to the numpy path (word halves
+    rejoin, bpe.cpp:357-380)."""
+    if not fasttok.available():
+        pytest.skip("native helper unavailable")
+    import random as _random
+
+    from youtokentome_tpu.host import preprocess
+
+    def mk(text, native):
+        cps = np.array([ord(c) for c in text], dtype=np.uint32)
+        uniq, cnt, dl = preprocess.char_frequencies(cps)
+        alpha = preprocess.build_alphabet(uniq, cnt, dl, 1.0, 4)
+        if native:
+            return preprocess.training_word_buckets(cps, alpha), alpha
+        orig = preprocess._native_word_buckets
+        preprocess._native_word_buckets = lambda *a: None
+        try:
+            return preprocess.training_word_buckets(cps, alpha), alpha
+        finally:
+            preprocess._native_word_buckets = orig
+
+    def multiset(buckets):
+        out = {}
+        for mat, cnt in buckets:
+            for row, c in zip(mat, cnt):
+                if c:
+                    key = tuple(int(x) for x in row[row >= 0])
+                    out[key] = out.get(key, 0) + int(c)
+        return out
+
+    rng = _random.Random(5)
+    cases = [
+        " ".join(
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 9)))
+            for _ in range(1500)
+        ),
+        "".join(rng.choice("ab  ") for _ in range(2000)),
+        " ".join(rng.choice(["мир", "日本", "abc", "ß", "x"]) for _ in range(400)),
+        "a▁b c▁ ▁d",
+        "a\tb\nc  d\r\ne",
+    ]
+    for text in cases:
+        bn, _ = mk(text, True)
+        bp, _ = mk(text, False)
+        assert multiset(bn) == multiset(bp), text[:40]
+
+    from youtokentome_tpu.ops.train_delta import run_training_delta
+
+    cps = np.array([ord(c) for c in cases[0]], dtype=np.uint32)
+    uniq, cnt, dl = preprocess.char_frequencies(cps)
+    alpha = preprocess.build_alphabet(uniq, cnt, dl, 1.0, 4)
+    u = len(alpha.char2id) + 4
+    bn, _ = mk(cases[0], True)
+    bp, _ = mk(cases[0], False)
+    assert run_training_delta(bn, u, 200) == run_training_delta(bp, u, 200)

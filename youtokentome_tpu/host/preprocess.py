@@ -192,6 +192,70 @@ def dedup_words(cps: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> Ded
     )
 
 
+def _native_word_buckets(cps, alphabet, bucket_caps):
+    """C++ split+dedup for training preprocessing (np.unique over byte
+    rows was ~12 s at 100 MB; the persistent-hash tokenizer does the
+    same work in ~2 s).  Applicable only when no character was removed
+    and the stream has no invalid codepoints — rare-char removal
+    REJOINS the surrounding word halves (bpe.cpp:357-380) while the
+    encode tokenizer would emit placeholder runs, so those corpora take
+    the exact numpy path.  Returns None when not applicable."""
+    if alphabet.removed.size:
+        return None
+    from ..ops.utf8 import INVALID_UNICODE as INV
+    from . import fasttok
+
+    if not fasttok.available():
+        return None
+    if cps.size and int(cps.max()) >= INV:
+        return None
+    # encode the codepoint stream back to bytes: the tokenizer is
+    # byte-level.  For pure-ASCII corpora this is one astype.
+    if not cps.size:
+        return []
+    if int(cps.max()) < 0x80:
+        data = cps.astype(np.uint8).tobytes()
+    else:
+        data = "".join(map(chr, cps.tolist())).encode("utf-8")
+    words_flat, word_off, _occ, counts = fasttok.tokenize(
+        data, alphabet.sorted_cps, alphabet.sorted_ids,
+        alphabet.space_id,
+    )
+    if words_flat.size and int(words_flat.max()) >= 10**9:
+        return None  # placeholder: some char missed the alphabet map
+    lens = np.diff(word_off)  # includes the space prefix
+    groups: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+    off64 = word_off.astype(np.int64)
+    for padded_len in np.unique(lens):
+        sel = np.nonzero(lens == padded_len)[0]
+        idx2d = off64[sel][:, None] + np.arange(int(padded_len))[None, :]
+        mat = words_flat[idx2d].astype(np.int32)
+        cap = next(
+            (c for c in bucket_caps if c >= padded_len), int(padded_len)
+        )
+        if cap != padded_len:
+            pad = np.full((sel.size, cap - int(padded_len)), -1, np.int32)
+            mat = np.concatenate([mat, pad], axis=1)
+        groups.setdefault(int(cap), []).append(
+            (mat, counts[sel].astype(np.int32))
+        )
+    # same cap-grouping and pow-2 word-count padding as the numpy path
+    out: List[Tuple[np.ndarray, np.ndarray]] = []
+    for cap in sorted(groups):
+        mats, cnts = zip(*groups[cap])
+        mat = np.concatenate(mats, axis=0)
+        cnt = np.concatenate(cnts)
+        w = mat.shape[0]
+        wp = max(8, 1 << int(np.ceil(np.log2(w))))
+        if wp != w:
+            mat = np.concatenate(
+                [mat, np.full((wp - w, mat.shape[1]), -1, dtype=mat.dtype)]
+            )
+            cnt = np.concatenate([cnt, np.zeros(wp - w, dtype=cnt.dtype)])
+        out.append((mat, cnt))
+    return out
+
+
 def training_word_buckets(
     cps: np.ndarray,
     alphabet: Alphabet,
@@ -206,6 +270,10 @@ def training_word_buckets(
     space-meta-symbol id.  Returns [(tokens [W, L], freq [W]), ...] with
     PAD = -1, one entry per occupied length bucket.
     """
+    native = _native_word_buckets(cps, alphabet, bucket_caps)
+    if native is not None:
+        return native
+
     keep = cps != INVALID_UNICODE
     if alphabet.removed.size:
         keep &= ~np.isin(cps, alphabet.removed)
