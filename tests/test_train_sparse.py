@@ -335,3 +335,45 @@ def test_wide_vocab_mints_real_wide_ids():
     assert max(x for s in ids for x in s) >= 65536
     for s, row in zip(sents, ids):
         assert v.decode_ids(row) == s
+
+
+def test_tiered_row_fold_repack_exact(capsys):
+    """The v5 driver's device-side row-fold repack (halving the block
+    count as the stream shrinks) must not change the learned rules.
+    The fold floor normally keeps small streams un-folded, so this test
+    lowers it and uses a merge-heavy corpus whose stream shrinks well
+    below half."""
+    import os
+    import random
+
+    from youtokentome_tpu.host import preprocess
+    from youtokentome_tpu.ops.train_delta import run_training_delta
+    from youtokentome_tpu.ops.train_tiered import run_training_tiered
+
+    rng = random.Random(77)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(3, 10)))
+        for _ in range(1500)
+    ]
+    text = " ".join(rng.choice(words) for _ in range(6000))
+    cps = np.array([ord(c) for c in text], dtype=np.uint32)
+    uniq, cnt, dl = preprocess.char_frequencies(cps)
+    alpha = preprocess.build_alphabet(uniq, cnt, dl, 1.0, 4)
+    buckets = preprocess.training_word_buckets(cps, alpha)
+    used0 = len(alpha.char2id) + 4
+    ref = run_training_delta(buckets, used0, 900)
+    os.environ["YTTM_TRAIN_FOLD_MIN"] = "16"
+    os.environ["YTTM_TRAIN_B"] = "16"
+    try:
+        got = run_training_tiered(buckets, used0, 900, progress_every=300)
+    finally:
+        os.environ.pop("YTTM_TRAIN_FOLD_MIN")
+        os.environ.pop("YTTM_TRAIN_B")
+    assert got == ref
+    # the fold must actually have fired: the per-segment progress lines
+    # carry the padded stream size, which halves on a fold
+    err = capsys.readouterr().err
+    import re
+
+    ms = [int(x) for x in re.findall(r"m=(\d+)", err)]
+    assert ms and min(ms) < max(ms), f"row fold never fired: {ms}"

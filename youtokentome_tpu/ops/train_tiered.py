@@ -684,7 +684,7 @@ def run_training_tiered(
         # halved shape is one extra compile, persistent-cached)
         if (
             not bool(overflow)
-            and m // B > 4096
+            and m // B > int(os.environ.get("YTTM_TRAIN_FOLD_MIN", "4096"))
             and int(_ns) < int(0.45 * m)
             and bool(_fold_check(td, B))
         ):
