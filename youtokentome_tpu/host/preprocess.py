@@ -216,7 +216,12 @@ def _native_word_buckets(cps, alphabet, bucket_caps):
     if int(cps.max()) < 0x80:
         data = cps.astype(np.uint8).tobytes()
     else:
-        data = "".join(map(chr, cps.tolist())).encode("utf-8")
+        try:
+            data = "".join(map(chr, cps.tolist())).encode("utf-8")
+        except (UnicodeEncodeError, ValueError):
+            # API callers may pass unencodable codepoints (e.g. lone
+            # surrogates); the numpy path handles them as ordinary ids
+            return None
     words_flat, word_off, _occ, counts = fasttok.tokenize(
         data, alphabet.sorted_cps, alphabet.sorted_ids,
         alphabet.space_id,
