@@ -130,7 +130,19 @@ def accept_prefix(cc, cx, cy, used, vocab_size, kb, min_count=None):
 
     ``min_count`` (dynamic, default 0) raises the count floor: the v5
     hot tier only guarantees global order for counts strictly above its
-    threshold (ops/train_tiered.py)."""
+    threshold (ops/train_tiered.py).
+
+    Equal-pair guard: merging (x,x)->z CREATES pairs the round never
+    saw — (z,x) from odd-length runs and (z,z) from runs >= 4 — with
+    counts up to count(x,x), and their bounding witness is the accepted
+    rule itself, so the intersection rule cannot stop the prefix for
+    them.  A created pair can only TIE a candidate of equal count (and
+    loses the tie: z is the largest id, and the tie-break prefers the
+    smaller max), so acceptance additionally stops at the first
+    candidate whose count is strictly below the LARGEST earlier
+    accepted equal-pair candidate's count.  (x != y rules need no
+    guard: every pair they create is count-bounded by a pair that
+    intersects the rule, which the prefix scan would have hit first.)"""
     remaining = vocab_size - used
     floor = 0 if min_count is None else min_count
     j = jnp.arange(kb)
@@ -138,7 +150,16 @@ def accept_prefix(cc, cx, cy, used, vocab_size, kb, min_count=None):
     inter = earlier & (
         (cy[None, :] == cx[:, None]) | (cx[None, :] == cy[:, None])
     )
-    fail = (cc <= floor) | jnp.any(inter, axis=1) | (j >= remaining)
+    eqpair_count = jnp.where(cx == cy, cc, -1)
+    prev_eq_max = jnp.concatenate(
+        [jnp.full((1,), -1, cc.dtype), lax.cummax(eqpair_count)[:-1]]
+    )
+    fail = (
+        (cc <= floor)
+        | jnp.any(inter, axis=1)
+        | (j >= remaining)
+        | (cc < prev_eq_max)
+    )
     # first failing index (kb if none)
     first_fail = jnp.min(jnp.where(fail, j, kb))
     acc = j < first_fail
