@@ -308,15 +308,19 @@ def main():
 
     sentences = corpus.split("\n")
     api_vals = []
+    ids = None
     for _ in range(2):
+        # free the previous rep's ~10M-int result BEFORE timing: holding
+        # it across the next call pushes the rep into GC/memory pressure
+        # and was measured to halve rep-2 throughput
+        ids = None
         t0 = time.time()
         ids = enc.encode(sentences, "id")
         dt = time.time() - t0
         api_vals.append(nbytes / 1e6 / dt)
-        log(
-            f"  api-path: {api_vals[-1]:.1f} MB/s "
-            f"({sum(len(s) for s in ids)} tokens)"
-        )
+        n_tokens = sum(len(s) for s in ids)
+        log(f"  api-path: {api_vals[-1]:.1f} MB/s ({n_tokens} tokens)")
+    ids = None
     if spread(api_vals) > 3:
         anomalies.append("api_rep_spread")
 
