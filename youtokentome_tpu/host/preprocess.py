@@ -42,13 +42,19 @@ def char_frequencies(cps: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
     """(unique_chars, counts, data_len).  data_len counts every decoded
     item including spaces and invalid sentinels (bpe.cpp:839-857)."""
     data_len = int(cps.size)
-    m = ~space_mask(cps) & (cps != INVALID_UNICODE)
-    sel = cps[m]
-    if sel.size and int(sel.max()) < (1 << 16):
-        # BMP-ish corpora: bincount is one pass vs np.unique's sort
-        counts = np.bincount(sel)
+    if cps.size and int(cps.max()) < (1 << 16):
+        # BMP-ish corpora: one bincount pass over the RAW stream, then
+        # zero the known space bins — both the np.unique sort and the
+        # boolean-mask copy it needed are gone (numpy's fancy indexing
+        # on 32-bit dtypes is pathologically slow on this host)
+        counts = np.bincount(cps)
+        for sp in (9, 10, 11, 12, 13, 32, SPACE_TOKEN):
+            if sp < counts.size:
+                counts[sp] = 0
         uniq = np.nonzero(counts)[0].astype(cps.dtype)
         return uniq, counts[uniq].astype(np.int64), data_len
+    m = ~space_mask(cps) & (cps != INVALID_UNICODE)
+    sel = cps[m]
     uniq, cnt = np.unique(sel, return_counts=True)
     return uniq, cnt.astype(np.int64), data_len
 
